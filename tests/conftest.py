@@ -1,0 +1,24 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64 enabled.
+
+Multi-chip sharding is tested without TPU hardware by forcing the host
+platform to expose 8 virtual devices (the same mechanism the driver uses for
+the multichip dry-run).  x64 gives the analytic-oracle bound tests the same
+Monte Carlo tolerances the reference test suite uses
+(reference: tests/test_bounds.py:7-8).
+"""
+import os
+import sys
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                           + ' --xla_force_host_platform_device_count=8')
+
+import jax
+
+# The axon sitecustomize force-registers the TPU platform regardless of
+# JAX_PLATFORMS; override the config after import so tests run on the
+# virtual 8-device CPU mesh.
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

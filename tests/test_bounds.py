@@ -1,0 +1,170 @@
+"""Bounds-core tests: analytic Gaussian oracles with MC tolerance.
+
+Same oracle pattern as the reference suite (reference: tests/test_bounds.py)
+— closed-form Gaussian alpha-divergences and KL provide expected values,
+assertions use tolerances scaled by 1/sqrt(MC_SAMPLES).  Samples are drawn
+with `jax.random` (the host CPU in this environment is too slow for scipy's
+generators at 1e6+ scale); the normal-mixture parity test keeps the
+reference's exact numpy seed-918 draw so its expected values are exact.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.stats import norm
+
+from viabel_tpu import (all_bounds, divergence_bound, error_bounds,
+                        wasserstein_bounds)
+from viabel_tpu.distributions import normal_logpdf
+
+MC_SAMPLES = 2000000
+MC_TOL = 5 / np.sqrt(MC_SAMPLES)
+
+
+def _gaussian_samples_and_log_weights(key, var1, var2, n=MC_SAMPLES):
+    """x ~ N(0, var2); log_weights = log N(0, var1)(x) - log N(0, var2)(x)."""
+    samples = jnp.sqrt(var2) * jax.random.normal(key, (n,), dtype=jnp.float64)
+    lw = (normal_logpdf(samples, 0.0, np.sqrt(var1))
+          - normal_logpdf(samples, 0.0, np.sqrt(var2)))
+    return np.asarray(samples), np.asarray(lw)
+
+
+def _gaussian_alpha_divergence(alpha, var1, var2):
+    """D_alpha(N(0, var1) || N(0, var2)), closed form
+    (reference: tests/test_bounds.py:11-17)."""
+    tmp = alpha * var2 - (alpha - 1) * var1
+    if tmp < 0:
+        return np.inf
+    return (-0.5 / (alpha - 1) * np.log(tmp)
+            + .5 * alpha / (alpha - 1) * np.log(var2) - .5 * np.log(var1))
+
+
+def _gaussian_kl_divergence(var1, var2):
+    return .5 * (var1 / var2 + np.log(var2 / var1) - 1)
+
+
+def test_divergence_bound():
+    var1, var2 = 4, 16
+    _, log_weights = _gaussian_samples_and_log_weights(
+        jax.random.PRNGKey(846), var1, var2)
+    for alpha in [1.5, 2, 3]:
+        for elbo in [None, 0]:
+            expected = _gaussian_alpha_divergence(alpha, var1, var2)
+            if elbo is None:
+                expected += alpha / (alpha - 1) * \
+                    _gaussian_kl_divergence(var2, var1)
+            np.testing.assert_allclose(
+                divergence_bound(log_weights, alpha, elbo), expected,
+                atol=MC_TOL, rtol=MC_TOL, err_msg='incorrect d_alpha value')
+
+
+def test_divergence_bound_rejects_bad_alpha():
+    with pytest.raises(ValueError):
+        divergence_bound(np.zeros(10), alpha=1.0)
+
+
+def test_wasserstein_bounds():
+    d2 = 5.0
+    stdev = 3.5
+    samples = stdev * np.asarray(
+        jax.random.normal(jax.random.PRNGKey(341), (MC_SAMPLES,),
+                          dtype=jnp.float64))
+    res = wasserstein_bounds(d2, samples)
+    np.testing.assert_allclose(res['W1'], 2 * stdev * np.sqrt(np.expm1(d2)),
+                               rtol=MC_TOL, err_msg='incorrect W1 value')
+    np.testing.assert_allclose(res['W2'],
+                               2 * stdev * (3 * np.expm1(d2)) ** 0.25,
+                               rtol=2 * MC_TOL, err_msg='incorrect W2 value')
+
+
+def test_wasserstein_bounds_moment_fn():
+    # With an analytic moment function the bound is exact.
+    d2 = 1.0
+    var = 4.0
+    moment_fn = lambda p: {2: var, 4: 3 * var ** 2}[p]
+    res = wasserstein_bounds(d2, moment_bound_fn=moment_fn)
+    np.testing.assert_allclose(res['W1'], 2 * np.sqrt(var * np.expm1(d2)))
+    np.testing.assert_allclose(
+        res['W2'], 2 * (3 * var ** 2) ** 0.25 * np.expm1(d2) ** 0.25)
+
+
+def test_wasserstein_requires_samples_or_fn():
+    with pytest.raises(ValueError):
+        wasserstein_bounds(1.0)
+
+
+def test_error_bounds_scalar_and_matrix_var():
+    res = error_bounds(W1=1.0, W2=2.0, q_var=4.0)
+    assert res['mean_error'] == 1.0
+    assert res['std_error'] == 2.0
+    np.testing.assert_allclose(res['cov_error'], 2 * (2.0 * 2.0 + 4.0))
+    # matrix variance reduces via spectral norm (reference: bounds.py:64-67)
+    q_cov = np.array([[4.0, 0.0], [0.0, 1.0]])
+    res2 = error_bounds(W1=1.0, W2=2.0, q_var=q_cov)
+    np.testing.assert_allclose(res2['cov_error'], 2 * (2.0 * 2.0 + 4.0))
+    # p_var participates through the min
+    res3 = error_bounds(W1=1.0, W2=2.0, q_var=9.0, p_var=1.0)
+    np.testing.assert_allclose(res3['cov_error'], 2 * (1.0 * 2.0 + 4.0))
+
+
+def test_all_bounds():
+    var1, var2 = 2.5, 9.3
+    samples, log_weights = _gaussian_samples_and_log_weights(
+        jax.random.PRNGKey(1639), var1, var2)
+    res = all_bounds(log_weights, samples, q_var=var2, log_norm_bound=None)
+    expected_d2 = (_gaussian_alpha_divergence(2, var1, var2)
+                   + 2 * _gaussian_kl_divergence(var2, var1))
+    np.testing.assert_allclose(res['d2'], expected_d2, rtol=MC_TOL,
+                               err_msg='incorrect d2 value')
+    stdev2 = np.sqrt(var2)
+    np.testing.assert_allclose(res['W1'],
+                               2 * stdev2 * np.sqrt(np.expm1(res['d2'])),
+                               rtol=MC_TOL, err_msg='incorrect W1 value')
+    np.testing.assert_allclose(res['W2'],
+                               2 * stdev2 * (3 * np.expm1(res['d2'])) ** 0.25,
+                               rtol=2 * MC_TOL, err_msg='incorrect W2 value')
+    assert set(res) >= {'mean_error', 'std_error', 'cov_error', 'W1', 'W2',
+                        'd2', 'log_norm_bound'}
+
+
+def test_all_bounds_infers_qvar_from_samples():
+    n = 200000
+    stdev = 2.0
+    samples = stdev * np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (n,), dtype=jnp.float64))
+    log_weights = np.zeros(n)  # p == q
+    res = all_bounds(log_weights, samples)
+    # d2 ~ 0 so all bounds collapse toward 0
+    assert res['d2'] < 1e-6
+    assert res['W2'] < 1e-2
+
+
+def test_normal_mixture_workload():
+    """End-to-end parity check on the normal-mixture workload
+    (reference: notebooks/normal-mixture.ipynb cells 2-14).  Expected values
+    computed with the reference bounds module on the same numpy seed-918
+    draw (matches BASELINE.md W2 = 6.08 / 4.41 / 2.72)."""
+    from scipy.special import factorial2
+    q_var = 5
+    q = norm(scale=np.sqrt(q_var))
+    log_q = q.logpdf
+    log_p = lambda x: np.logaddexp(norm.logpdf(x, loc=-2),
+                                   norm.logpdf(x, loc=2)) - np.log(2)
+    np.random.seed(918)
+    samples = q.rvs(50000)
+    log_weights = log_p(samples) - log_q(samples)
+
+    res1 = all_bounds(log_weights, samples)
+    np.testing.assert_allclose(res1['W2'], 6.0836, rtol=1e-3)
+    np.testing.assert_allclose(res1['d2'], 0.7681, rtol=1e-3)
+    np.testing.assert_allclose(res1['mean_error'], 4.7897, rtol=1e-3)
+
+    res2 = all_bounds(log_weights, samples, q_var=q_var, log_norm_bound=0)
+    np.testing.assert_allclose(res2['W2'], 4.4099, rtol=1e-3)
+    np.testing.assert_allclose(res2['d2'], 0.2769, rtol=1e-3)
+
+    # the notebook's analytic moment function (normal-mixture.ipynb cell 6)
+    mb = lambda order: factorial2(order - 1) ** (1 / order) * np.sqrt(q_var)
+    res3 = all_bounds(log_weights, moment_bound_fn=mb, q_var=q_var)
+    np.testing.assert_allclose(res3['W2'], 2.7160, rtol=1e-3)
+    np.testing.assert_allclose(res3['mean_error'], 2.7160, rtol=1e-3)

@@ -1,0 +1,95 @@
+"""Diagnostics tests: split R-hat against a from-the-formula numpy oracle,
+iterate averaging against direct means, and the conjugate-posterior oracle
+against a direct linear solve.
+"""
+import numpy as np
+import pytest
+
+from viabel_tpu import (compute_posterior_moments, compute_R_hat,
+                        compute_R_hat_adaptive, compute_R_hat_halfway,
+                        stochastic_iterate_averaging)
+
+
+def _rhat_oracle(chains, warmup):
+    """Independent numpy implementation of split R-hat from the formula
+    (reference semantics: viabel/functions.py:8-31)."""
+    chains = chains[:, warmup:, :]
+    c, n, K = chains.shape
+    n2 = n // 2
+    psi = chains[:, :2 * n2, :].reshape(c * 2, n2, K)
+    means = psi.mean(axis=1)
+    grand = means.mean(axis=0)
+    s2 = ((psi - means[:, None, :]) ** 2).sum(axis=1) / (n2 - 1)
+    B = n2 * ((means - grand) ** 2).sum(axis=0) / (2 * c - 1)
+    W = s2.mean(axis=0) + 1e-8
+    var_hat = (n2 - 1) / n2 + B / (n2 * W)
+    return np.sqrt(var_hat)
+
+
+def test_compute_rhat_matches_oracle():
+    rng = np.random.RandomState(0)
+    chains = rng.randn(4, 1000, 3).cumsum(axis=1) * 0.01 + rng.randn(4, 1, 3)
+    for warmup in [0, 100, 500]:
+        _, r = compute_R_hat(chains, warmup=warmup)
+        np.testing.assert_allclose(r, _rhat_oracle(chains, warmup),
+                                   rtol=1e-10)
+
+
+def test_rhat_mixed_vs_separated_chains():
+    rng = np.random.RandomState(1)
+    mixed = rng.randn(4, 2000, 2)
+    _, r_mixed = compute_R_hat(mixed, warmup=0)
+    assert np.all(r_mixed < 1.05)
+
+    separated = mixed + np.arange(4)[:, None, None] * 5.0
+    _, r_sep = compute_R_hat(separated, warmup=0)
+    assert np.all(r_sep > 1.5)
+
+
+def test_rhat_adaptive_windows():
+    rng = np.random.RandomState(2)
+    chains = rng.randn(3, 1000, 2)
+    r = compute_R_hat_adaptive(chains, window_size=200)
+    assert r.shape == (5, 2)
+    # each window equals a direct R-hat on that slice
+    _, direct = compute_R_hat(chains[:, :200, :], warmup=0)
+    np.testing.assert_allclose(r[0], direct, rtol=1e-10)
+
+
+def test_rhat_halfway_shapes_and_clamp():
+    rng = np.random.RandomState(3)
+    chains = rng.randn(2, 600, 2)
+    r = compute_R_hat_halfway(chains, interval=100, start=200)
+    assert r.shape == (6, 2)
+    # the last prefixes clamp at the chain length => identical rows
+    np.testing.assert_allclose(r[-1], r[-2], rtol=1e-12)
+
+
+def test_stochastic_iterate_averaging():
+    x = np.arange(20, dtype=float).reshape(-1, 1)
+    iters, mean = stochastic_iterate_averaging(x, start=10)
+    assert iters.shape == (10, 1)
+    np.testing.assert_allclose(iters[0], x[10])
+    np.testing.assert_allclose(iters[-1], x[10:].mean())
+    np.testing.assert_allclose(mean, x[10:].mean())
+    with pytest.raises(ValueError):
+        stochastic_iterate_averaging(x, start=25)
+
+
+def test_compute_posterior_moments_vs_direct():
+    rng = np.random.RandomState(4)
+    N, D = 40, 3
+    x = rng.randn(N, D)
+    w = rng.randn(D)
+    noise_var = 0.3
+    y = x @ w + np.sqrt(noise_var) * rng.randn(N)
+    prior_mean = np.zeros(D)
+    prior_cov = 4.0 * np.eye(D)
+
+    mu, S = compute_posterior_moments(prior_mean, prior_cov, noise_var, x, y)
+    # direct formula: S = (P0 + X'X/s2)^-1; mu = S (P0 m0 + X'y/s2)
+    P0 = np.linalg.inv(prior_cov)
+    S_direct = np.linalg.inv(P0 + x.T @ x / noise_var)
+    mu_direct = S_direct @ (P0 @ prior_mean + x.T @ y / noise_var)
+    np.testing.assert_allclose(S, S_direct, rtol=1e-8)
+    np.testing.assert_allclose(mu, mu_direct, rtol=1e-8)

@@ -1,0 +1,199 @@
+"""Family tests: sample moments vs closed forms, log-prob vs scipy,
+entropy identities, and pth-moment formulas.
+
+These cover the layer the reference never tested (see SURVEY.md section 4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as sps
+
+from viabel_tpu import (full_rank_gaussian_variational_family,
+                        mean_field_gaussian_variational_family,
+                        mean_field_t_variational_family,
+                        t_variational_family)
+
+N = 400000
+
+
+def _sample_moments(fam, param, key, n=N):
+    x = np.asarray(fam.sample(key, param, n))
+    return x.mean(axis=0), np.cov(x.T)
+
+
+def test_mf_gaussian_moments_and_logprob():
+    dim = 3
+    fam = mean_field_gaussian_variational_family(dim)
+    assert fam.var_param_dim == 2 * dim
+    mean = jnp.array([1.0, -2.0, 0.5])
+    log_std = jnp.array([0.1, -0.3, 0.7])
+    param = jnp.concatenate([mean, log_std])
+
+    m, c = fam.mean_and_cov(param)
+    np.testing.assert_allclose(m, mean)
+    np.testing.assert_allclose(np.diag(c), np.exp(2 * log_std))
+
+    sm, sc = _sample_moments(fam, param, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(sm, mean, atol=5e-3)
+    np.testing.assert_allclose(np.diag(sc), np.exp(2 * log_std), rtol=2e-2)
+
+    x = np.asarray(fam.sample(jax.random.PRNGKey(1), param, 50))
+    expected = sps.multivariate_normal(np.asarray(mean),
+                                       np.diag(np.exp(2 * np.asarray(log_std)))
+                                       ).logpdf(x)
+    np.testing.assert_allclose(fam.log_prob(param, x), expected, rtol=1e-6)
+
+    # entropy identity: H = E[-log q]
+    np.testing.assert_allclose(
+        fam.entropy(param),
+        -np.mean(np.asarray(fam.log_prob(
+            param, fam.sample(jax.random.PRNGKey(2), param, N)))),
+        rtol=2e-3)
+
+    # pth moments: sum(vars) and 2 sum(vars^2) + sum(vars)^2
+    variances = np.exp(2 * np.asarray(log_std))
+    np.testing.assert_allclose(fam.pth_moment(param, 2), variances.sum())
+    np.testing.assert_allclose(fam.pth_moment(param, 4),
+                               2 * (variances ** 2).sum()
+                               + variances.sum() ** 2)
+    with pytest.raises(ValueError):
+        fam.pth_moment(param, 3)
+
+
+def test_mf_t_moments_and_logprob():
+    dim, df = 2, 40
+    fam = mean_field_t_variational_family(dim, df)
+    mean = jnp.array([0.5, -1.0])
+    log_scale = jnp.array([0.2, -0.1])
+    param = jnp.concatenate([mean, log_scale])
+
+    m, c = fam.mean_and_cov(param)
+    np.testing.assert_allclose(np.diag(c),
+                               df / (df - 2) * np.exp(2 * log_scale))
+
+    sm, sc = _sample_moments(fam, param, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(sm, mean, atol=5e-3)
+    np.testing.assert_allclose(np.diag(sc), np.diag(c), rtol=3e-2)
+
+    x = np.asarray(fam.sample(jax.random.PRNGKey(4), param, 50))
+    expected = sum(
+        sps.t(df, loc=float(mean[d]),
+              scale=float(np.exp(log_scale[d]))).logpdf(x[:, d])
+        for d in range(dim))
+    np.testing.assert_allclose(fam.log_prob(param, x), expected, rtol=1e-6)
+
+    # pth moments (reference: viabel/vb.py:168-179)
+    scales = np.exp(np.asarray(log_scale))
+    c_ = df / (df - 2)
+    np.testing.assert_allclose(fam.pth_moment(param, 2),
+                               c_ * (scales ** 2).sum())
+    np.testing.assert_allclose(
+        fam.pth_moment(param, 4),
+        c_ ** 2 * (2 * (df - 1) / (df - 4) * (scales ** 4).sum()
+                   + ((scales ** 2).sum()) ** 2))
+
+    # E||x - mu||^2 sampled matches pth_moment(2)
+    samples = np.asarray(fam.sample(jax.random.PRNGKey(5), param, N))
+    emp = np.mean(np.sum((samples - np.asarray(mean)) ** 2, axis=1))
+    np.testing.assert_allclose(emp, fam.pth_moment(param, 2), rtol=3e-2)
+
+    with pytest.raises(ValueError):
+        mean_field_t_variational_family(2, 2)
+
+
+def _chol_param(dim, mu, L):
+    log_diag = np.log(np.diag(L))
+    off = L[np.tril_indices(dim, k=-1)]
+    return jnp.asarray(np.concatenate([mu, log_diag, off]))
+
+
+def test_full_rank_gaussian():
+    dim = 3
+    fam = full_rank_gaussian_variational_family(dim)
+    assert fam.var_param_dim == dim * (dim + 3) // 2
+    rng = np.random.RandomState(0)
+    A = rng.randn(dim, dim)
+    Sigma = A @ A.T + np.eye(dim)
+    L = np.linalg.cholesky(Sigma)
+    mu = np.array([1.0, 0.0, -1.0])
+    param = _chol_param(dim, mu, L)
+
+    m, c = fam.mean_and_cov(param)
+    np.testing.assert_allclose(m, mu)
+    np.testing.assert_allclose(c, Sigma, rtol=1e-6)
+
+    x = np.asarray(fam.sample(jax.random.PRNGKey(6), param, 50))
+    expected = sps.multivariate_normal(mu, Sigma).logpdf(x)
+    np.testing.assert_allclose(fam.log_prob(param, x), expected, rtol=1e-6)
+
+    np.testing.assert_allclose(fam.entropy(param),
+                               sps.multivariate_normal(mu, Sigma).entropy(),
+                               rtol=1e-6)
+
+    sm, sc = _sample_moments(fam, param, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(sm, mu, atol=2e-2)
+    np.testing.assert_allclose(sc, Sigma, atol=5e-2)
+
+    # fixed pth_moment: tr(Sigma), 2 tr(Sigma^2) + tr(Sigma)^2
+    lam = np.linalg.eigvalsh(Sigma)
+    np.testing.assert_allclose(fam.pth_moment(param, 2), lam.sum(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(fam.pth_moment(param, 4),
+                               2 * (lam ** 2).sum() + lam.sum() ** 2,
+                               rtol=1e-6)
+    # and against sampled E||x-mu||^4
+    samples = np.asarray(fam.sample(jax.random.PRNGKey(8), param, N))
+    emp4 = np.mean(np.sum((samples - mu) ** 2, axis=1) ** 2)
+    np.testing.assert_allclose(emp4, fam.pth_moment(param, 4), rtol=5e-2)
+
+
+def test_full_rank_t():
+    dim, df = 2, 100
+    fam = t_variational_family(dim, df)
+    assert fam.var_param_dim == dim * (dim + 3) // 2
+    Sigma = np.array([[2.0, 0.5], [0.5, 1.0]])
+    L = np.linalg.cholesky(Sigma)
+    mu = np.array([0.3, -0.7])
+    param = _chol_param(dim, mu, L)
+
+    m, c = fam.mean_and_cov(param)
+    np.testing.assert_allclose(m, mu)
+    np.testing.assert_allclose(c, df / (df - 2) * Sigma, rtol=1e-6)
+
+    # log_prob vs scipy multivariate_t
+    x = np.asarray(fam.sample(jax.random.PRNGKey(9), param, 50))
+    expected = sps.multivariate_t(mu, Sigma, df=df).logpdf(x)
+    np.testing.assert_allclose(fam.log_prob(param, x), expected, rtol=1e-6)
+
+    # entropy = 0.5 log det Sigma (df-constants dropped;
+    # reference: viabel/vb.py:210-213)
+    np.testing.assert_allclose(fam.entropy(param),
+                               0.5 * np.log(np.linalg.det(Sigma)), rtol=1e-6)
+
+    sm, sc = _sample_moments(fam, param, jax.random.PRNGKey(10))
+    np.testing.assert_allclose(sm, mu, atol=2e-2)
+    np.testing.assert_allclose(sc, df / (df - 2) * Sigma, atol=5e-2)
+
+    # pth moments vs eigendecomposition form (reference: viabel/vb.py:219-230)
+    lam = np.linalg.eigvalsh(Sigma)
+    cc = df / (df - 2)
+    np.testing.assert_allclose(fam.pth_moment(param, 2), cc * lam.sum(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        fam.pth_moment(param, 4),
+        cc ** 2 * (2 * (df - 1) / (df - 4) * (lam ** 2).sum()
+                   + lam.sum() ** 2), rtol=1e-6)
+
+
+def test_sampling_is_reparameterized():
+    """Gradients flow from samples back to the variational parameters."""
+    fam = mean_field_gaussian_variational_family(2)
+    param = jnp.array([0.0, 0.0, 0.0, 0.0])
+
+    def mean_of_samples(p):
+        return jnp.mean(fam.sample(jax.random.PRNGKey(0), p, 100))
+
+    g = jax.grad(mean_of_samples)(param)
+    # d mean / d mu = 1/dim each
+    np.testing.assert_allclose(g[:2], 0.5 * np.ones(2), atol=1e-6)

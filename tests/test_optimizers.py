@@ -1,0 +1,135 @@
+"""Optimizer tests: schedule parity with the reference generator semantics,
+convergence on a conjugate-posterior oracle, and the IA/R-hat pipeline's
+output contract (coverage the reference never had; SURVEY.md section 4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viabel_tpu import (adagrad_optimize, adam_IA_optimize_with_rhat,
+                        black_box_klvi, compute_posterior_moments,
+                        learning_rate_schedule,
+                        mean_field_gaussian_variational_family,
+                        rmsprop_IA_optimize_with_rhat)
+from viabel_tpu.models import linear_regression_model
+
+
+def _reference_schedule(n_iters, learning_rate, learning_rate_end):
+    """Python replica of the reference's generator semantics
+    (reference: viabel/vb.py:324-342) used as the test oracle."""
+    if learning_rate_end is not None:
+        b = n_iters * learning_rate_end / (2 * (learning_rate
+                                                - learning_rate_end))
+        a = learning_rate * b
+        start = n_iters // 4
+        end = 3 * n_iters // 4
+    for i in range(n_iters):
+        if learning_rate_end is None or i < start:
+            yield learning_rate
+        elif i < end:
+            yield a / (b + i - start + 1)
+        else:
+            yield learning_rate_end
+
+
+def test_learning_rate_schedule_matches_reference():
+    for n_iters, lr, lr_end in [(100, .01, .001), (1000, .1, .001),
+                                (57, .05, .02), (100, .01, None)]:
+        expected = np.array(list(_reference_schedule(n_iters, lr, lr_end)))
+        got = np.array([float(learning_rate_schedule(i, n_iters, lr, lr_end))
+                        for i in range(n_iters)])
+        np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+def test_learning_rate_schedule_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        learning_rate_schedule(0, 100, -1.0)
+    with pytest.raises(ValueError):
+        learning_rate_schedule(0, 100, .001, .01)
+
+
+def _conjugate_problem(seed=0):
+    rs = np.random.RandomState(seed)
+    N, D = 50, 2
+    x = rs.randn(N, D)
+    w = np.array([1.0, -2.0])
+    y = x @ w + 0.5 * rs.randn(N)
+    model = linear_regression_model(x, y)
+    return model
+
+
+def test_adagrad_converges_on_conjugate_posterior():
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 50)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    opt_param, history, values, log_norms = adagrad_optimize(
+        3000, obj, init, key=jax.random.PRNGKey(0), learning_rate=.05,
+        learning_rate_end=.001)
+    assert history.shape == (3000 - 3 * 3000 // 4, fam.var_param_dim)
+    assert values.shape == (3000,)
+    mean, cov = fam.mean_and_cov(opt_param)
+    np.testing.assert_allclose(np.asarray(mean), model.true_mean, atol=0.05)
+    # mean-field variances should match the true marginal variances roughly
+    np.testing.assert_allclose(np.sqrt(np.diag(np.asarray(cov))),
+                               np.sqrt(np.diag(model.true_cov)), rtol=0.35)
+    # loss decreased
+    assert np.mean(np.asarray(values)[-100:]) < np.mean(
+        np.asarray(values)[:100])
+
+
+def test_adagrad_window_rescaling_runs_with_log_norm():
+    """has_log_norm path: the windowed min-log-norm rescaling executes
+    (reference: viabel/vb.py:359-374).  CHIVI is started near the optimum,
+    as the reference notebooks do (robust-regression.ipynb cell 23 warm-
+    starts CHIVI from the KLVI solution)."""
+    from viabel_tpu import black_box_chivi
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_chivi(2, fam, model.log_prob, 200)
+    init = jnp.asarray(np.concatenate([
+        model.true_mean, 0.5 * np.log(np.diag(model.true_cov)) + 1.0]))
+    opt_param, _, values, log_norms = adagrad_optimize(
+        500, obj, init, key=jax.random.PRNGKey(1), learning_rate=.01)
+    assert np.asarray(log_norms).shape == (500,)
+    assert np.any(np.asarray(log_norms) != 0)
+    mean, _ = fam.mean_and_cov(opt_param)
+    np.testing.assert_allclose(np.asarray(mean), model.true_mean, atol=0.3)
+
+
+def test_rmsprop_ia_with_rhat_contract_and_convergence():
+    model = _conjugate_problem()
+    K = model.dim
+    fam = mean_field_gaussian_variational_family(K)
+    obj = black_box_klvi(fam, model.log_prob, 50)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    n_iters, n_chains = 1200, 3
+    (final_param, chains, avg_means, avg_sigmas, values, log_norms,
+     log) = rmsprop_IA_optimize_with_rhat(
+        n_iters, obj, init, K, key=jax.random.PRNGKey(2), learning_rate=.02,
+        n_optimisers=n_chains, rhat_window=200, tail_avg_iters=400)
+    assert chains.shape == (n_chains, n_iters, fam.var_param_dim)
+    assert values.shape == (n_chains * n_iters,)
+    assert len(avg_means) == n_chains
+    assert log['r_hat_mean'].shape[1] == K
+    assert log['r_hat_mean_halfway'].shape[1] == K
+    assert 0 <= log['start_avg_mean_iters'] < n_iters
+    # averaged posterior mean close to truth for every chain
+    for o in range(n_chains):
+        np.testing.assert_allclose(avg_means[o][-1], model.true_mean,
+                                   atol=0.1)
+
+
+def test_adam_ia_with_rhat_converges():
+    model = _conjugate_problem()
+    K = model.dim
+    fam = mean_field_gaussian_variational_family(K)
+    obj = black_box_klvi(fam, model.log_prob, 50)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    (final_param, chains, avg_means, avg_sigmas, values, _,
+     log) = adam_IA_optimize_with_rhat(
+        1200, obj, init, K, key=jax.random.PRNGKey(3), learning_rate=.02,
+        n_optimisers=2, rhat_window=200, tail_avg_iters=400)
+    np.testing.assert_allclose(avg_means[0][-1], model.true_mean, atol=0.1)
+    np.testing.assert_allclose(avg_means[1][-1], model.true_mean, atol=0.1)

@@ -1,0 +1,131 @@
+"""PSIS tests against reference-implementation oracle values.
+
+Expected numbers were computed once with the reference numpy implementation
+(reference: notebooks/psis.py:112-199) on deterministic JAX-generated
+log-weight draws, covering the smoothing path (khat in the smoothing range),
+the heavy-tail warning range (khat > 0.7), and the no-smoothing path
+(khat < 1/3).  Additional tests check khat recovery on synthetic
+Pareto-tailed weights and self-normalization invariants.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viabel_tpu.psis import gpinv, psislw, psisloo, sumlogs
+
+
+def _make_lw(seed, n, dist):
+    key = jax.random.PRNGKey(seed)
+    if dist == 'lognormal':
+        return 1.5 * jax.random.normal(key, (n,), dtype=jnp.float64)
+    if dist == 'frechet':
+        u = jax.random.uniform(key, (n,), dtype=jnp.float64,
+                               minval=1e-12, maxval=1 - 1e-12)
+        return 0.7 * -jnp.log(-jnp.log(u))
+    return 0.3 * jax.random.normal(key, (n,), dtype=jnp.float64)
+
+
+# (seed, n, dist) -> (khat, smoothed[:5], max)
+_ORACLE = {
+    (0, 4000, 'lognormal'): (
+        0.4299937356,
+        [-9.6887458295, -10.557131285, -6.6379478972, -9.098216601,
+         -9.2586807988],
+        -4.005192692353574),
+    (1, 20000, 'frechet'): (
+        0.7275445881,
+        [-11.4956290904, -10.7996031521, -10.564370621, -9.7846731721,
+         -11.2922764043],
+        -3.4379327095319687),
+    (2, 4000, 'normal'): (
+        0.0715072742,
+        [-8.4042726679, -8.6597956256, -8.2182335103, -8.3933135769,
+         -8.5567221765],
+        -7.1385720164705075),
+}
+
+
+@pytest.mark.parametrize('case', list(_ORACLE))
+def test_psislw_matches_reference(case):
+    seed, n, dist = case
+    lw = _make_lw(seed, n, dist)
+    smoothed, khat = psislw(lw)
+    exp_k, exp_head, exp_max = _ORACLE[case]
+    np.testing.assert_allclose(float(khat), exp_k, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(smoothed)[:5], exp_head, rtol=1e-8)
+    np.testing.assert_allclose(float(jnp.max(smoothed)), exp_max, rtol=1e-8)
+    # self-normalized
+    np.testing.assert_allclose(float(jnp.sum(jnp.exp(smoothed))), 1.0,
+                               rtol=1e-10)
+
+
+def test_psislw_2d_columns():
+    lw1 = _make_lw(0, 4000, 'lognormal')
+    lw2 = _make_lw(2, 4000, 'normal')
+    lw = jnp.stack([lw1, lw2], axis=1)
+    smoothed, ks = psislw(lw)
+    assert smoothed.shape == (4000, 2)
+    assert ks.shape == (2,)
+    s1, k1 = psislw(lw1)
+    np.testing.assert_allclose(np.asarray(smoothed[:, 0]), np.asarray(s1),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(ks[0]), float(k1), rtol=1e-12)
+
+
+def test_psislw_khat_recovery_on_pareto_tail():
+    """Weights with a generalized-Pareto right tail of known index k are
+    recovered within estimation error."""
+    k_true = 0.5
+    n = 50000
+    key = jax.random.PRNGKey(42)
+    u = jax.random.uniform(key, (n,), dtype=jnp.float64,
+                           minval=1e-12, maxval=1 - 1e-12)
+    # inverse-CDF GPD sample, log scale
+    w = (jnp.power(1 - u, -k_true) - 1) / k_true
+    lw = jnp.log1p(w)
+    _, khat = psislw(lw)
+    assert 0.3 < float(khat) < 0.7
+
+
+def test_psislw_short_tail_returns_inf():
+    """Too few tail samples => khat = inf, no smoothing
+    (reference: notebooks/psis.py:177-180)."""
+    lw = jnp.asarray(np.concatenate([np.zeros(30), [5.0]]))
+    smoothed, khat = psislw(lw)
+    assert np.isinf(float(khat))
+    # renormalized but otherwise unchanged ordering
+    assert float(jnp.argmax(smoothed)) == 30
+
+
+def test_psislw_validates_input():
+    with pytest.raises(ValueError):
+        psislw(jnp.zeros((2, 2, 2)))
+    with pytest.raises(ValueError):
+        psislw(jnp.zeros(1))
+
+
+def test_gpinv_basic():
+    p = jnp.asarray(np.linspace(0.01, 0.99, 50))
+    # k -> 0 reduces to exponential quantiles
+    np.testing.assert_allclose(np.asarray(gpinv(p, 0.0, 1.0)),
+                               -np.log1p(-np.asarray(p)), rtol=1e-10)
+    # k = 0.5, sigma = 2: x = sigma*((1-p)^-k - 1)/k
+    k, s = 0.5, 2.0
+    expected = s * (np.power(1 - np.asarray(p), -k) - 1) / k
+    np.testing.assert_allclose(np.asarray(gpinv(p, k, s)), expected,
+                               rtol=1e-10)
+
+
+def test_sumlogs():
+    x = jnp.asarray([1000.0, 1000.0])
+    np.testing.assert_allclose(float(sumlogs(x)), 1000.0 + np.log(2.0))
+
+
+def test_psisloo_shapes():
+    key = jax.random.PRNGKey(3)
+    log_lik = -0.5 * jax.random.normal(key, (2000, 5), dtype=jnp.float64) ** 2
+    loo, loos, ks = psisloo(log_lik)
+    assert loos.shape == (5,)
+    assert ks.shape == (5,)
+    np.testing.assert_allclose(float(jnp.sum(loos)), loo, rtol=1e-10)

@@ -1,0 +1,230 @@
+"""Validated posterior error bounds (the installable core).
+
+TPU-native rebuild of the reference bounds module
+(reference: viabel/bounds.py:13-213; the only module exported by
+viabel/__init__.py:1).  Given Monte Carlo log-weights
+``log p(x_i) - log q(x_i)`` for samples ``x_i ~ q`` it computes
+
+* a bound on the alpha-(Renyi/chi^2) divergence from the CUBO/ELBO gap
+  (`divergence_bound`, reference: viabel/bounds.py:142-180),
+* 1-/2-Wasserstein bounds from the 2-divergence and (empirical or supplied)
+  centered moments (`wasserstein_bounds`, reference: viabel/bounds.py:103-139),
+* bounds on the posterior mean/stdev/covariance estimation error
+  (`error_bounds`, reference: viabel/bounds.py:64-100, 195-213),
+
+orchestrated by `all_bounds` (reference: viabel/bounds.py:13-61).
+
+TPU-first design notes
+----------------------
+The reference makes several numpy passes over the 1e6-2.5e6-element
+log-weight vector (max, exp, mean, std; reference: viabel/bounds.py:169-176,
+183-192).  Here all sample-axis statistics are produced by a single fused,
+jitted reduction (`log_weight_stats`) so the array is read from HBM once;
+the same kernel runs sharded over a device mesh with `psum` reductions in
+`viabel_tpu.parallel.sharded_bounds`.  The scalar bound algebra stays in
+Python/numpy — there is nothing to accelerate there.
+"""
+from functools import partial
+from warnings import warn
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    'all_bounds',
+    'error_bounds',
+    'wasserstein_bounds',
+    'divergence_bound',
+    'log_weight_stats',
+    'central_moments',
+]
+
+
+@partial(jax.jit, static_argnames=('alpha',))
+def log_weight_stats(log_weights, alpha=2.0):
+    """Fused single-pass statistics of a log-weight vector.
+
+    Returns a dict with ``log_rescale`` (max), ``mean_rescaled_alpha`` and
+    ``std_rescaled_alpha`` (moments of ``exp(lw - max)**alpha``), and
+    ``mean_lw`` / ``std_lw`` (moments of the raw log-weights).  These are all
+    the sample statistics `divergence_bound` needs
+    (reference: viabel/bounds.py:169-176 and the MC-error check at
+    viabel/bounds.py:183-192), computed in one read of the array.
+    """
+    lw = jnp.ravel(log_weights)
+    log_rescale = jnp.max(lw)
+    w_alpha = jnp.exp(lw - log_rescale) ** alpha
+    return dict(
+        log_rescale=log_rescale,
+        mean_rescaled_alpha=jnp.mean(w_alpha),
+        std_rescaled_alpha=jnp.std(w_alpha),
+        mean_lw=jnp.mean(lw),
+        std_lw=jnp.std(lw),
+        n=lw.shape[0],
+    )
+
+
+@jax.jit
+def central_moments(samples):
+    """Empirical centered moments ``C_p = E[ sum_d (x_d - mean_d)^p ]``.
+
+    Computes C2 and C4 (the two moments `wasserstein_bounds` needs;
+    reference: viabel/bounds.py:130-135) plus the sample covariance matrix
+    (reference: viabel/bounds.py:55-56) in one pass over the samples.
+    """
+    x = jnp.atleast_2d(samples.T).T  # (n, d)
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    c = x - mean
+    C2 = jnp.mean(jnp.sum(c ** 2, axis=1))
+    C4 = jnp.mean(jnp.sum(c ** 4, axis=1))
+    n = x.shape[0]
+    cov = (c.T @ c) / (n - 1)
+    return dict(C2=C2, C4=C4, cov=cov)
+
+
+def _check_mc_error(mean, stderr, atol=0.01, rtol=0.0, quantity_name=None):
+    """Warn when the MC standard error is large.
+
+    Mirrors `mean_and_check_mc_error` (reference: viabel/bounds.py:183-192)
+    but takes precomputed statistics so it composes with the fused kernel.
+    """
+    if stderr > rtol * np.abs(mean) + atol:
+        msg = 'significant Monte Carlo error'
+        if quantity_name is not None:
+            msg += ' when computing ' + quantity_name
+        msg += ' (mean = {}, standard deviation = {})'.format(mean, stderr)
+        warn(msg)
+    return mean
+
+
+def divergence_bound(log_weights, alpha=2.0, log_norm_bound=None,
+                     return_log_norm_bound=False, _stats=None):
+    """Monte Carlo bound on the alpha-divergence ``D_alpha(q || p)``.
+
+    ``d_alpha = alpha/(alpha-1) * (CUBO_alpha - log_norm_bound)`` where
+    CUBO is estimated with max-rescaled exponentiated weights for stability
+    and the ELBO (mean log-weight) is used as the log-normalizer lower bound
+    when none is supplied (reference: viabel/bounds.py:142-180).
+
+    Parameters mirror the reference; `_stats` optionally accepts a
+    precomputed `log_weight_stats` dict (used by the sharded path, where the
+    statistics were already reduced across the mesh).
+    """
+    if alpha <= 1:
+        raise ValueError('alpha must be greater than 1')
+    s = log_weight_stats(jnp.asarray(log_weights), alpha=alpha) \
+        if _stats is None else _stats
+    n = s['n']
+    mean_rescaled = _check_mc_error(
+        float(s['mean_rescaled_alpha']),
+        float(s['std_rescaled_alpha']) / np.sqrt(n),
+        quantity_name='CUBO')
+    cubo = np.log(mean_rescaled) / alpha + float(s['log_rescale'])
+    if log_norm_bound is None:
+        log_norm_bound = _check_mc_error(
+            float(s['mean_lw']), float(s['std_lw']) / np.sqrt(n),
+            quantity_name='ELBO')
+    dalpha = alpha / (alpha - 1) * (cubo - log_norm_bound)
+    if return_log_norm_bound:
+        return dalpha, log_norm_bound
+    return dalpha
+
+
+def wasserstein_bounds(d2, samples=None, moment_bound_fn=None, _moments=None):
+    """Bounds on the 1- and 2-Wasserstein distances.
+
+    ``W_p <= 2 * C_{2p}^{1/(2p)} * expm1(d2)^{1/(2p)}`` for p in {1, 2}
+    (reference: viabel/bounds.py:103-139).  ``C_{2p}`` comes from
+    `moment_bound_fn(2p)` if provided, else from centered empirical moments
+    of `samples`.
+    """
+    results = dict()
+    if moment_bound_fn is None:
+        if samples is None and _moments is None:
+            raise ValueError('must provide samples if moment_bound_fn not given')
+        m = central_moments(jnp.asarray(samples)) if _moments is None else _moments
+        moments = {2: float(m['C2']), 4: float(m['C4'])}
+        moment_bound_fn = lambda p: moments[p]
+    for p in [1, 2]:
+        Cp = moment_bound_fn(2 * p)
+        results['W{}'.format(p)] = 2 * Cp ** (.5 / p) * np.expm1(d2) ** (.5 / p)
+    return results
+
+
+def _compute_norm_if_needed(var):
+    """Spectral norm of a covariance matrix, identity on scalars
+    (reference: viabel/bounds.py:64-67)."""
+    var = np.asarray(var)
+    if var.ndim == 2:
+        return np.linalg.norm(var, ord=2)
+    return var
+
+
+def mean_bound(Wp):
+    """|E_p[x] - E_q[x]| <= W_p (reference: viabel/bounds.py:199-200)."""
+    return Wp
+
+
+def std_bound(W2):
+    """Stdev error bound (reference: viabel/bounds.py:203-204)."""
+    return W2
+
+
+def var_bound(W2, var1, var2=None):
+    """Covariance error bound ``2 (min_std W2 + W2^2)``
+    (reference: viabel/bounds.py:207-213)."""
+    if var2 is not None:
+        min_var = np.min([var1, var2], axis=0)
+    else:
+        min_var = var1
+    min_std = np.sqrt(min_var)
+    return 2 * (min_std * W2 + W2 ** 2)
+
+
+def error_bounds(W1=np.inf, W2=np.inf, q_var=np.inf, p_var=np.inf):
+    """Mean / stdev / covariance error bounds from Wasserstein bounds
+    (reference: viabel/bounds.py:70-100)."""
+    results = dict()
+    results['mean_error'] = mean_bound(min(W1, W2))
+    results['std_error'] = std_bound(W2)
+    results['cov_error'] = var_bound(W2, _compute_norm_if_needed(q_var),
+                                     _compute_norm_if_needed(p_var))
+    return results
+
+
+def all_bounds(log_weights, samples=None, moment_bound_fn=None,
+               q_var=None, p_var=None, log_norm_bound=None, alpha=2.0):
+    """Compute all error and distance bounds.
+
+    Orchestrates `divergence_bound` -> `wasserstein_bounds` -> `error_bounds`
+    (reference: viabel/bounds.py:13-61).  Returns a dict with keys
+    ``mean_error``, ``std_error``, ``cov_error``, ``W1``, ``W2``, ``d2``,
+    ``log_norm_bound``.
+
+    TPU note: when `samples` is given, the covariance (used for `q_var` if
+    absent; reference: viabel/bounds.py:55-56) and the centered moments are
+    produced by one fused device pass; the log-weight statistics by another.
+    """
+    lw = jnp.asarray(log_weights)
+    stats = log_weight_stats(lw, alpha=alpha)
+    moments = None
+    if samples is not None:
+        moments = central_moments(jnp.asarray(samples))
+    d2, log_norm_bound = divergence_bound(
+        lw, alpha=alpha, log_norm_bound=log_norm_bound,
+        return_log_norm_bound=True, _stats=stats)
+    results = wasserstein_bounds(d2, samples=None, moment_bound_fn=moment_bound_fn,
+                                 _moments=moments)
+    if q_var is None and moments is not None:
+        q_var = np.asarray(moments['cov'])
+        if q_var.shape == (1, 1):
+            q_var = q_var[0, 0]
+    if q_var is None:
+        q_var = np.inf
+    if p_var is None:
+        p_var = np.inf
+    results.update(error_bounds(q_var=q_var, p_var=p_var, **results))
+    results['d2'] = d2
+    results['log_norm_bound'] = log_norm_bound
+    return results

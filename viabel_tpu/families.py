@@ -1,0 +1,271 @@
+"""Variational families as pure-function bundles.
+
+TPU-native rebuild of the reference families
+(reference: viabel/vb.py:42-233).  The reference packages each family as a
+namedtuple of closures over a *global* `numpy.random.RandomState`
+(reference: viabel/vb.py:42-45, 49); here each family is a `VariationalFamily`
+of *pure* functions threaded with explicit `jax.random` keys, so every
+function jits, vmaps over chains, and shards over a device mesh unchanged.
+
+Variational parameters are flat f32/f64 vectors (like the reference), so the
+optimizer/diagnostics convention of slicing ``param[:K]`` (location block) and
+``param[K:]`` (scale block) carries over (reference: viabel/vb.py:489-518).
+
+Full-rank families use an unconstrained Cholesky parameterization
+``[mu (d), log diag L (d), strict lower tri of L (d(d-1)/2)]`` instead of the
+reference's paragami PSD pattern / `sqrtm` sampling
+(reference: viabel/vb.py:185-233) — triangular ops map far better onto the
+TPU MXU than `sqrtm`, and the parameter dimension d(d+3)/2 matches the
+reference's flat length.  The reference's broken full-rank-Gaussian
+`pth_moment` (copy-pasted mean-field code; reference: viabel/vb.py:126-134)
+is *fixed* here, not replicated, as is its leftover debug print
+(reference: viabel/vb.py:89).
+"""
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .distributions import (diag_normal_logpdf, diag_student_t_logpdf,
+                            mvn_logpdf_chol, mvt_logpdf_chol)
+
+__all__ = [
+    'VariationalFamily',
+    'mean_field_gaussian_variational_family',
+    'mean_field_t_variational_family',
+    'full_rank_gaussian_variational_family',
+    't_variational_family',
+]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class VariationalFamily(NamedTuple):
+    """Bundle of pure functions defining a variational family.
+
+    Counterpart of the reference namedtuple (reference: viabel/vb.py:42-45)
+    with JAX conventions: `sample` takes an explicit PRNG key, `log_prob` is
+    parameter-first, and `pth_moment` takes the (static) order last.
+
+    Fields
+    ------
+    sample : (key, var_param, n_samples) -> (n_samples, dim) array
+        Reparameterized sampler; gradients flow through `var_param`.
+    entropy : (var_param) -> scalar
+    log_prob : (var_param, x) -> (n,) log q(x; var_param)
+    mean_and_cov : (var_param) -> (mean (dim,), cov (dim, dim))
+    pth_moment : (var_param, p) -> scalar bound on min_y E||x - y||^p, p in {2,4}
+    var_param_dim, dim : int
+    init_param : () -> zeros var-param vector
+    """
+    sample: Callable
+    entropy: Callable
+    log_prob: Callable
+    mean_and_cov: Callable
+    pth_moment: Callable
+    var_param_dim: int
+    dim: int
+    name: str
+
+    def logdensity(self, x, var_param):
+        """Reference-argument-order alias (reference: viabel/vb.py:63)."""
+        return self.log_prob(var_param, x)
+
+    def init_param(self, dtype=jnp.float32):
+        return jnp.zeros(self.var_param_dim, dtype=dtype)
+
+
+def mean_field_gaussian_variational_family(dim):
+    """Mean-field Gaussian: ``var_param = [mean (d), log_std (d)]``
+    (reference: viabel/vb.py:48-82)."""
+
+    def unpack(var_param):
+        return var_param[:dim], var_param[dim:]
+
+    def sample(key, var_param, n_samples):
+        mean, log_std = unpack(var_param)
+        z = jax.random.normal(key, (n_samples, dim), dtype=var_param.dtype)
+        return mean + jnp.exp(log_std) * z
+
+    def entropy(var_param):
+        _, log_std = unpack(var_param)
+        return 0.5 * dim * (1.0 + _LOG_2PI) + jnp.sum(log_std)
+
+    def log_prob(var_param, x):
+        mean, log_std = unpack(var_param)
+        return diag_normal_logpdf(x, mean, log_std)
+
+    def mean_and_cov(var_param):
+        mean, log_std = unpack(var_param)
+        return mean, jnp.diag(jnp.exp(2 * log_std))
+
+    def pth_moment(var_param, p):
+        if p not in (2, 4):
+            raise ValueError('only p = 2 or 4 supported')
+        _, log_std = unpack(var_param)
+        variances = jnp.exp(2 * log_std)
+        if p == 2:
+            return jnp.sum(variances)
+        return 2 * jnp.sum(variances ** 2) + jnp.sum(variances) ** 2
+
+    return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
+                             pth_moment, 2 * dim, dim, 'mf_gaussian')
+
+
+def mean_field_t_variational_family(dim, df):
+    """Mean-field Student-t: ``var_param = [mean (d), log_scale (d)]``
+    (reference: viabel/vb.py:140-182).  Entropy drops df-only constants like
+    the reference (reference: viabel/vb.py:153-156)."""
+    if df <= 2:
+        raise ValueError('df must be greater than 2')
+
+    def unpack(var_param):
+        return var_param[:dim], var_param[dim:]
+
+    def sample(key, var_param, n_samples):
+        mean, log_scale = unpack(var_param)
+        t = jax.random.t(key, df, (n_samples, dim), dtype=var_param.dtype)
+        return mean + jnp.exp(log_scale) * t
+
+    def entropy(var_param):
+        _, log_scale = unpack(var_param)
+        return jnp.sum(log_scale)
+
+    def log_prob(var_param, x):
+        mean, log_scale = unpack(var_param)
+        return diag_student_t_logpdf(x, df, mean, log_scale)
+
+    def mean_and_cov(var_param):
+        mean, log_scale = unpack(var_param)
+        return mean, df / (df - 2) * jnp.diag(jnp.exp(2 * log_scale))
+
+    def pth_moment(var_param, p):
+        if p not in (2, 4):
+            raise ValueError('only p = 2 or 4 supported')
+        if df <= p:
+            raise ValueError('df must be greater than p')
+        _, log_scale = unpack(var_param)
+        scales = jnp.exp(log_scale)
+        c = df / (df - 2)
+        if p == 2:
+            return c * jnp.sum(scales ** 2)
+        return c ** 2 * (2 * (df - 1) / (df - 4) * jnp.sum(scales ** 4)
+                         + jnp.sum(scales ** 2) ** 2)
+
+    return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
+                             pth_moment, 2 * dim, dim, 'mf_t')
+
+
+def _unpack_chol(var_param, dim):
+    """Unpack ``[mu, log diag L, strict lower L]`` into (mu, L)."""
+    mu = var_param[:dim]
+    log_diag = var_param[dim:2 * dim]
+    off = var_param[2 * dim:]
+    L = jnp.zeros((dim, dim), dtype=var_param.dtype)
+    if dim > 1:
+        rows, cols = jnp.tril_indices(dim, k=-1)
+        L = L.at[rows, cols].set(off)
+    L = L + jnp.diag(jnp.exp(log_diag))
+    return mu, L
+
+
+def _chol_param_dim(dim):
+    return dim * (dim + 3) // 2
+
+
+def full_rank_gaussian_variational_family(dim):
+    """Full-rank Gaussian with Cholesky parameterization.
+
+    Counterpart of the reference family (reference: viabel/vb.py:85-137) with
+    its known defects fixed: no debug print (reference: viabel/vb.py:89), a
+    mathematically correct full-rank `pth_moment`
+    (E||x-mu||^2 = tr(Sigma), E||x-mu||^4 = 2 tr(Sigma^2) + tr(Sigma)^2;
+    the reference copy-pasted the mean-field formula at viabel/vb.py:126-134),
+    and `mean_and_cov` returning the full covariance matrix rather than its
+    diagonal (reference: viabel/vb.py:120-124).
+    """
+
+    def sample(key, var_param, n_samples):
+        mu, L = _unpack_chol(var_param, dim)
+        z = jax.random.normal(key, (n_samples, dim), dtype=var_param.dtype)
+        return mu + z @ L.T
+
+    def entropy(var_param):
+        log_diag = var_param[dim:2 * dim]
+        return jnp.sum(log_diag) + 0.5 * dim * (1.0 + _LOG_2PI)
+
+    def log_prob(var_param, x):
+        mu, L = _unpack_chol(var_param, dim)
+        return mvn_logpdf_chol(x, mu, L)
+
+    def mean_and_cov(var_param):
+        mu, L = _unpack_chol(var_param, dim)
+        return mu, L @ L.T
+
+    def pth_moment(var_param, p):
+        if p not in (2, 4):
+            raise ValueError('only p = 2 or 4 supported')
+        _, L = _unpack_chol(var_param, dim)
+        tr_sigma = jnp.sum(L ** 2)
+        if p == 2:
+            return tr_sigma
+        tr_sigma2 = jnp.sum((L.T @ L) ** 2)  # tr(Sigma^2) = ||L^T L||_F^2
+        return 2 * tr_sigma2 + tr_sigma ** 2
+
+    return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
+                             pth_moment, _chol_param_dim(dim), dim,
+                             'full_rank_gaussian')
+
+
+def t_variational_family(dim, df):
+    """Full-rank multivariate Student-t with Cholesky parameterization.
+
+    Counterpart of the reference paragami/`sqrtm` family
+    (reference: viabel/vb.py:185-233): samples via the chi-square scale
+    mixture ``mu + (z @ L^T) / s`` with ``s = sqrt(chi2(df)/df)``
+    (reference: viabel/vb.py:202-208 uses sqrtm(Sigma); the distribution is
+    identical), entropy ``0.5 log det Sigma`` dropping df-only constants
+    (reference: viabel/vb.py:210-213), and moments using the df/(df-2) and
+    (df-1)/(df-4) inflation factors (reference: viabel/vb.py:219-230).
+    """
+    if df <= 2:
+        raise ValueError('df must be greater than 2')
+
+    def sample(key, var_param, n_samples):
+        mu, L = _unpack_chol(var_param, dim)
+        key_z, key_s = jax.random.split(key)
+        z = jax.random.normal(key_z, (n_samples, dim), dtype=var_param.dtype)
+        chi2 = jax.random.chisquare(key_s, df, (n_samples,),
+                                    dtype=var_param.dtype)
+        s = jnp.sqrt(chi2 / df)
+        return mu + (z @ L.T) / s[:, None]
+
+    def entropy(var_param):
+        log_diag = var_param[dim:2 * dim]
+        return jnp.sum(log_diag)  # = 0.5 log det(Sigma)
+
+    def log_prob(var_param, x):
+        mu, L = _unpack_chol(var_param, dim)
+        return mvt_logpdf_chol(x, mu, L, df)
+
+    def mean_and_cov(var_param):
+        mu, L = _unpack_chol(var_param, dim)
+        return mu, df / (df - 2.0) * (L @ L.T)
+
+    def pth_moment(var_param, p):
+        if p not in (2, 4):
+            raise ValueError('only p = 2 or 4 supported')
+        if df <= p:
+            raise ValueError('df must be greater than p')
+        _, L = _unpack_chol(var_param, dim)
+        tr_sigma = jnp.sum(L ** 2)
+        c = df / (df - 2)
+        if p == 2:
+            return c * tr_sigma
+        tr_sigma2 = jnp.sum((L.T @ L) ** 2)
+        return c ** 2 * (2 * (df - 1) / (df - 4) * tr_sigma2 + tr_sigma ** 2)
+
+    return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
+                             pth_moment, _chol_param_dim(dim), dim,
+                             'full_rank_t')
