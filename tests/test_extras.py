@@ -1,0 +1,176 @@
+"""Tests for the auxiliary subsystems: chivi-neff / perturbed objectives,
+checkpoint-resume, throughput metrics, and the native C++ model backend.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viabel_tpu import (adagrad_optimize, black_box_chivi,
+                        black_box_chivi_neff, black_box_klvi,
+                        mean_field_gaussian_variational_family,
+                        perturbed_black_box_vi)
+from viabel_tpu.distributions import diag_normal_logpdf
+
+
+def _gaussian_target(mean, log_std):
+    return lambda x: diag_normal_logpdf(x, mean, log_std)
+
+
+def test_chivi_neff_matches_chivi_up_to_normalization():
+    fam = mean_field_gaussian_variational_family(2)
+    log_density = _gaussian_target(jnp.asarray([1.0, -1.0]),
+                                   jnp.asarray([0.1, 0.2]))
+    n = 256
+    obj = black_box_chivi(2, fam, log_density, n)
+    obj_neff = black_box_chivi_neff(2, fam, log_density, n)
+    param = jnp.asarray([0.5, -0.5, 0.0, 0.0])
+    key = jax.random.PRNGKey(0)
+    v1, g1, ln1 = obj(param, key)
+    v2, g2, ln2, neff = obj_neff(param, key)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(float(ln1), float(ln2), rtol=1e-12)
+    assert 1.0 <= float(neff) <= n
+    # same direction, rescaled by n/neff
+    np.testing.assert_allclose(np.asarray(g2),
+                               np.asarray(g1) * n / float(neff), rtol=1e-10)
+
+
+def test_chivi_neff_runs_in_optimizer():
+    fam = mean_field_gaussian_variational_family(1)
+    log_density = _gaussian_target(jnp.asarray([0.5]), jnp.asarray([0.0]))
+    obj = black_box_chivi_neff(2, fam, log_density, 100)
+    init = jnp.asarray([0.4, 0.1])
+    opt, _, values, log_norms = adagrad_optimize(
+        300, obj, init, key=jax.random.PRNGKey(1), learning_rate=.02)
+    assert np.all(np.isfinite(np.asarray(opt)))
+    assert np.any(np.asarray(log_norms) != 0)
+
+
+def test_perturbed_vi_gradient_centered_on_klvi():
+    fam = mean_field_gaussian_variational_family(1)
+    log_density = _gaussian_target(jnp.asarray([0.5]), jnp.asarray([0.0]))
+    obj_p = perturbed_black_box_vi(fam, log_density, 200,
+                                   perturbation_scale=0.05)
+    obj_k = black_box_klvi(fam, log_density, 200)
+    param = jnp.asarray([0.0, 0.2])
+    keys = jax.random.split(jax.random.PRNGKey(2), 400)
+    gp = np.asarray(jax.jit(jax.vmap(lambda k: obj_p(param, k)[1]))(keys))
+    gk = np.asarray(jax.jit(jax.vmap(lambda k: obj_k(param, k)[1]))(keys))
+    se = gp.std(axis=0) / np.sqrt(len(gp))
+    np.testing.assert_allclose(gp.mean(axis=0), gk.mean(axis=0),
+                               atol=6 * se.max() + 0.02)
+
+
+def test_checkpoint_save_load_roundtrip(tmp_path):
+    from viabel_tpu.checkpoint import load_checkpoint, save_checkpoint
+    tree = dict(a=np.arange(5.0), b=dict(c=np.eye(2), d=np.float64(3.5)))
+    path = str(tmp_path / 'ckpt.npz')
+    save_checkpoint(path, tree)
+    loaded = load_checkpoint(path, like=tree)
+    np.testing.assert_allclose(loaded['a'], tree['a'])
+    np.testing.assert_allclose(loaded['b']['c'], tree['b']['c'])
+    np.testing.assert_allclose(loaded['b']['d'], tree['b']['d'])
+
+
+def test_adagrad_resumable_matches_unresumed(tmp_path, monkeypatch):
+    import shutil
+
+    import viabel_tpu.checkpoint as ckpt
+    fam = mean_field_gaussian_variational_family(1)
+    log_density = _gaussian_target(jnp.asarray([0.5]), jnp.asarray([0.0]))
+    obj = black_box_klvi(fam, log_density, 50)
+    init = jnp.zeros(2, dtype=jnp.float64)
+    key = jax.random.PRNGKey(3)
+    n_iters = 400
+    path = str(tmp_path / 'opt.npz')
+    snap = str(tmp_path / 'snap_200.npz')
+
+    direct = adagrad_optimize(n_iters, obj, init, key=key)
+
+    # snapshot the mid-run checkpoint (segment boundary at i = 200) so a
+    # crash at that point can be simulated faithfully
+    real_save = ckpt.save_checkpoint
+
+    def spying_save(p, tree):
+        out = real_save(p, tree)
+        if p == path and int(tree['i']) == 200:
+            shutil.copy(path, snap)
+        return out
+
+    monkeypatch.setattr(ckpt, 'save_checkpoint', spying_save)
+    full = ckpt.adagrad_optimize_resumable(n_iters, obj, init,
+                                           checkpoint_path=path, key=key,
+                                           save_every=100)
+    np.testing.assert_allclose(np.asarray(full[0]), np.asarray(direct[0]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(full[2]), np.asarray(direct[2]),
+                               rtol=1e-10)
+
+    # crash-and-resume: restore the i=200 snapshot; the resumed run must
+    # reproduce the completed run exactly
+    shutil.copy(snap, path)
+    resumed = ckpt.adagrad_optimize_resumable(n_iters, obj, init,
+                                              checkpoint_path=path, key=key,
+                                              save_every=100)
+    np.testing.assert_allclose(np.asarray(resumed[2]), np.asarray(full[2]),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(resumed[0]), np.asarray(full[0]),
+                               rtol=1e-10)
+
+
+def test_throughput_meter():
+    from viabel_tpu.utils import ThroughputMeter
+    meter = ThroughputMeter(reps=2)
+    f = jax.jit(lambda x: x * 2.0)
+    out, rec = meter.measure('double', f, jnp.ones(16), iters=100,
+                             evals_per_iter=10, samples=1000)
+    assert rec['it_per_s'] > 0
+    np.testing.assert_allclose(rec['evals_per_s'], rec['it_per_s'] * 10,
+                               rtol=1e-9)
+    assert 'double' in meter.report()
+
+
+def test_native_backend_matches_jax_model():
+    from viabel_tpu.native import (build_native_library,
+                                   native_eight_schools_cp_log_density)
+    try:
+        build_native_library()
+    except RuntimeError:
+        pytest.skip('no C++ toolchain available')
+    from viabel_tpu.models import eight_schools_cp_model
+    native = native_eight_schools_cp_log_density()
+    model = eight_schools_cp_model()
+    x = np.random.RandomState(2).randn(6, 10)
+    np.testing.assert_allclose(np.asarray(native(jnp.asarray(x))),
+                               np.asarray(model.log_prob(jnp.asarray(x))),
+                               rtol=1e-10)
+    g_native = jax.grad(lambda z: jnp.sum(native(z)))(jnp.asarray(x))
+    g_jax = jax.grad(lambda z: jnp.sum(model.log_prob(z)))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_native), np.asarray(g_jax),
+                               rtol=1e-8)
+
+
+def test_native_backend_in_full_vi_loop():
+    """The native C++ density drives a complete KLVI optimization — the
+    reference's Stan-bridge workflow (reference: viabel/vb.py:314-321 +
+    notebooks/robust-regression.ipynb cell 13) with a real native backend."""
+    from viabel_tpu.native import (build_native_library,
+                                   native_eight_schools_cp_log_density)
+    try:
+        build_native_library()
+    except RuntimeError:
+        pytest.skip('no C++ toolchain available')
+    from viabel_tpu import mean_field_t_variational_family
+    native = native_eight_schools_cp_log_density()
+    fam = mean_field_t_variational_family(10, 40)
+    obj = black_box_klvi(fam, native, 20)
+    init = jnp.zeros(20, dtype=jnp.float64)
+    opt, _, values, _ = adagrad_optimize(100, obj, init,
+                                         key=jax.random.PRNGKey(4),
+                                         learning_rate=.05)
+    assert np.all(np.isfinite(np.asarray(opt)))
+    assert np.mean(np.asarray(values)[-20:]) < np.mean(
+        np.asarray(values)[:20])

@@ -21,8 +21,10 @@ from .families import (VariationalFamily,
                        mean_field_gaussian_variational_family,
                        mean_field_t_variational_family,
                        t_variational_family)
-from .objectives import (black_box_chivi, black_box_klvi, black_box_klvi_pd,
-                         black_box_klvi_pd2, vectorize_log_density)
+from .objectives import (black_box_chivi, black_box_chivi_neff,
+                         black_box_klvi, black_box_klvi_pd,
+                         black_box_klvi_pd2, perturbed_black_box_vi,
+                         vectorize_log_density)
 from .optimizers import (adagrad_optimize, adam_IA_optimize,
                          adam_IA_optimize_with_rhat, learning_rate_schedule,
                          rmsprop_IA_optimize, rmsprop_IA_optimize_with_rhat)
@@ -41,9 +43,10 @@ __all__ = [
     'mean_field_t_variational_family',
     'full_rank_gaussian_variational_family',
     't_variational_family',
-    # objectives (viabel/vb.py:236-298)
+    # objectives (viabel/vb.py:236-298 + notebook-referenced variants)
     'black_box_klvi', 'black_box_klvi_pd', 'black_box_klvi_pd2',
-    'black_box_chivi', 'vectorize_log_density',
+    'black_box_chivi', 'black_box_chivi_neff', 'perturbed_black_box_vi',
+    'vectorize_log_density',
     # optimizers (viabel/vb.py:324-712)
     'learning_rate_schedule', 'adagrad_optimize',
     'rmsprop_IA_optimize_with_rhat', 'adam_IA_optimize_with_rhat',

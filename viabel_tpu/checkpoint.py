@@ -1,0 +1,138 @@
+"""Checkpoint / resume for optimization runs.
+
+The reference has no checkpointing at all — notebooks pickle compiled Stan
+models only, and optimizers return full parameter histories a caller could
+manually resume from (SURVEY.md section 5).  This module provides the
+missing subsystem: atomic save/restore of arbitrary JAX/numpy pytrees
+(variational parameters, optimizer state, PRNG keys, chain histories) plus a
+resumable windowed-adagrad driver that checkpoints every `save_every`
+iterations and picks up where it left off.
+
+Storage is a single `.npz` per checkpoint (written atomically via rename),
+kept dependency-free; the pytree structure is recorded alongside the leaves.
+"""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .optimizers import (_adagrad_run, _wrap_objective, _WindowState,
+                         learning_rate_schedule)
+
+__all__ = ['save_checkpoint', 'load_checkpoint', 'adagrad_optimize_resumable']
+
+
+def save_checkpoint(path, tree):
+    """Atomically save a pytree of arrays/scalars to `path` (.npz)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    arrays = {'leaf_{}'.format(i): np.asarray(x)
+              for i, x in enumerate(leaves)}
+    arrays['__structure__'] = np.frombuffer(
+        str(treedef).encode(), dtype=np.uint8)  # informational only
+    d = os.path.dirname(os.path.abspath(path)) or '.'
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix='.npz.tmp')
+    os.close(fd)
+    try:
+        with open(tmp, 'wb') as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def load_checkpoint(path, like=None):
+    """Load a checkpoint.  If `like` (a pytree with the same structure) is
+    given, leaves are reassembled into that structure; otherwise a flat list
+    of arrays is returned."""
+    with np.load(path) as data:
+        n = sum(1 for k in data.files if k.startswith('leaf_'))
+        leaves = [data['leaf_{}'.format(i)] for i in range(n)]
+    if like is None:
+        return leaves
+    treedef = jax.tree.structure(like)
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
+                               checkpoint_path, key=None, save_every=1000,
+                               has_log_norm=None, window=10,
+                               learning_rate=.01, epsilon=.1,
+                               learning_rate_end=None):
+    """Windowed adagrad (reference: viabel/vb.py:345-389) with periodic
+    checkpointing and automatic resume.
+
+    Runs in `save_every`-iteration segments, each a compiled scan; after
+    each segment the full optimizer state (parameters, gradient window,
+    histories, iteration counter) is checkpointed.  If `checkpoint_path`
+    exists, optimization resumes from it.  Same return contract as
+    `adagrad_optimize`.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    obj = _wrap_objective(objective_and_grad, has_log_norm)
+    init_param = jnp.asarray(init_param)
+    dtype = init_param.dtype
+    P = init_param.shape[0]
+
+    template = dict(
+        i=np.zeros((), np.int64),
+        param=np.zeros(P, np.asarray(init_param).dtype),
+        grads=np.zeros((window, P), np.asarray(init_param).dtype),
+        log_norms=np.zeros(window, np.asarray(init_param).dtype),
+        values=np.zeros(n_iters, np.asarray(init_param).dtype),
+        lns=np.zeros(n_iters, np.asarray(init_param).dtype),
+        params=np.zeros((n_iters, P), np.asarray(init_param).dtype),
+    )
+    if os.path.exists(checkpoint_path):
+        state = load_checkpoint(checkpoint_path, like=template)
+        start = int(state['i'])
+    else:
+        state = template
+        state['param'] = np.asarray(init_param)
+        start = 0
+
+    param = jnp.asarray(state['param'])
+    wstate = _WindowState(jnp.asarray(state['grads']),
+                          jnp.asarray(state['log_norms']))
+
+    def segment(param, wstate, i0, length):
+        def step(carry, i):
+            p, w = carry
+            it_key = jax.random.fold_in(key, i)
+            value, grad, log_norm = obj(p, it_key)
+            from .optimizers import _window_accum
+            w, accum = _window_accum(w, i, grad, log_norm, window)
+            lr = learning_rate_schedule(i, n_iters, learning_rate,
+                                        learning_rate_end).astype(dtype)
+            p = p - lr * grad / jnp.sqrt(epsilon + accum)
+            return (p, w), (value, log_norm, p)
+        (param, wstate), ys = jax.lax.scan(
+            step, (param, wstate), jnp.arange(length) + i0)
+        return param, wstate, ys
+
+    segment = jax.jit(segment, static_argnames=('length',))
+
+    i = start
+    while i < n_iters:
+        length = min(save_every, n_iters - i)
+        param, wstate, (vals, lns, params_seg) = segment(param, wstate, i,
+                                                         length)
+        state['values'][i:i + length] = np.asarray(vals)
+        state['lns'][i:i + length] = np.asarray(lns)
+        state['params'][i:i + length] = np.asarray(params_seg)
+        i += length
+        state['i'] = np.asarray(i)
+        state['param'] = np.asarray(param)
+        state['grads'] = np.asarray(wstate.grads)
+        state['log_norms'] = np.asarray(wstate.log_norms)
+        save_checkpoint(checkpoint_path, state)
+
+    tail = state['params'][3 * n_iters // 4:]
+    smoothed = tail.mean(axis=0)
+    return (jnp.asarray(smoothed), jnp.asarray(tail),
+            jnp.asarray(state['values']), jnp.asarray(state['lns']))

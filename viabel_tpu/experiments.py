@@ -1,0 +1,287 @@
+"""Experiment harness: optimize, check accuracy, bound, PSIS-correct.
+
+TPU-native rebuild of the reference harness
+(reference: notebooks/experiments.py:1-210 + notebooks/utils.py).  The same
+workflow — KLVI then CHIVI (reusing KLVI's ELBO as CHIVI's log-normalizer
+bound), accuracy checks against ground truth, large-sample bound estimation
+under a timer, and PSIS correction — with the Monte Carlo passes fused/jitted
+(and mesh-sharded when a mesh is supplied).  Plotting is optional and
+requires matplotlib (reference plots: experiments.py:94-135); everything
+else is dependency-free.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bounds import all_bounds
+from .objectives import black_box_chivi, black_box_klvi
+from .optimizers import adagrad_optimize
+from .psis import psislw
+from .utils import Timer
+
+__all__ = [
+    'print_bounds',
+    'check_accuracy',
+    'check_approx_accuracy',
+    'get_samples_and_log_weights',
+    'psis_correction',
+    'improve_with_psis',
+    'run_experiment',
+    'plot_approx_and_exact_contours',
+    'plot_history',
+    'plot_dist_to_opt_param',
+]
+
+
+def print_bounds(results):
+    """(reference: notebooks/experiments.py:14-21)"""
+    print('Bounds on...')
+    print('  2-Wasserstein   {:.3g}'.format(results['W2']))
+    print('  2-divergence    {:.3g}'.format(results['d2']))
+    print('  mean error      {:.3g}'.format(results['mean_error']))
+    print('  stdev error     {:.3g}'.format(results['std_error']))
+    print('  sqrt cov error  {:.3g}'.format(np.sqrt(results['cov_error'])))
+    print('  cov error       {:.3g}'.format(results['cov_error']))
+
+
+def check_accuracy(true_mean, true_cov, approx_mean, approx_cov,
+                   verbose=False, method=None):
+    """Norm-based moment-error metrics vs ground truth
+    (reference: notebooks/experiments.py:26-48)."""
+    true_mean = np.asarray(true_mean)
+    true_cov = np.asarray(true_cov)
+    approx_mean = np.asarray(approx_mean)
+    approx_cov = np.asarray(approx_cov)
+    true_std = np.sqrt(np.diag(true_cov))
+    approx_std = np.sqrt(np.diag(approx_cov))
+    results = dict(
+        mean_error=np.linalg.norm(true_mean - approx_mean),
+        cov_error_2=np.linalg.norm(true_cov - approx_cov, ord=2),
+        cov_norm_2=np.linalg.norm(true_cov, ord=2),
+        cov_error_nuc=np.linalg.norm(true_cov - approx_cov, ord='nuc'),
+        cov_norm_nuc=np.linalg.norm(true_cov, ord='nuc'),
+        std_error=np.linalg.norm(true_std - approx_std),
+        rel_std_error=np.linalg.norm(approx_std / true_std - 1),
+    )
+    if method is not None:
+        results['method'] = method
+    if verbose:
+        print('mean   =', approx_mean)
+        print('stdevs =', approx_std)
+        print()
+        print('mean error             = {:.3g}'.format(results['mean_error']))
+        print('stdev error            = {:.3g}'.format(results['std_error']))
+        print('||cov error||_2^{{1/2}}  = {:.3g}'.format(
+            np.sqrt(results['cov_error_2'])))
+        print('||true cov||_2^{{1/2}}   = {:.3g}'.format(
+            np.sqrt(results['cov_norm_2'])))
+    return results
+
+
+def check_approx_accuracy(var_family, var_param, true_mean, true_cov,
+                          verbose=False, name=None):
+    """(reference: notebooks/experiments.py:51-55)"""
+    mean, cov = var_family.mean_and_cov(var_param)
+    return check_accuracy(true_mean, true_cov, np.asarray(mean),
+                          np.asarray(cov), verbose, name)
+
+
+def get_samples_and_log_weights(log_density, var_family, var_param,
+                                n_samples, key=None):
+    """Draw samples and log-weights in one fused jitted pass
+    (reference: notebooks/experiments.py:60-63)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    var_param = jnp.asarray(var_param)
+
+    @jax.jit
+    def draw(vp, k):
+        samples = var_family.sample(k, vp, n_samples)
+        lw = log_density(samples) - var_family.log_prob(vp, samples)
+        return samples, lw
+
+    return draw(var_param, key)
+
+
+def psis_correction(log_density, var_family, var_param, n_samples, key=None):
+    """(reference: notebooks/experiments.py:66-70).  Note: returns samples
+    transposed, (dim, n), matching the reference convention."""
+    samples, log_weights = get_samples_and_log_weights(
+        log_density, var_family, var_param, n_samples, key)
+    smoothed_log_weights, khat = psislw(log_weights)
+    return samples.T, smoothed_log_weights, khat
+
+
+def improve_with_psis(log_density, var_family, var_param, n_samples,
+                      true_mean, true_cov, transform=None, verbose=False,
+                      key=None):
+    """PSIS-corrected moment estimates + accuracy check
+    (reference: notebooks/experiments.py:73-89)."""
+    samples, slw, khat = psis_correction(log_density, var_family,
+                                         var_param, n_samples, key)
+    if verbose:
+        print('khat = {:.3g}'.format(float(khat)))
+        print()
+    samples = np.asarray(samples)
+    slw = np.asarray(slw)
+    if transform is not None:
+        samples = transform(samples)
+    slw = slw - np.max(slw)
+    wts = np.exp(slw)
+    wts = wts / np.sum(wts)
+    approx_mean = np.sum(wts[np.newaxis, :] * samples, axis=1)
+    c = samples - approx_mean[:, None]
+    approx_cov = (wts[np.newaxis, :] * c) @ c.T
+    res = check_accuracy(true_mean, true_cov, approx_mean, approx_cov,
+                         verbose)
+    res['khat'] = float(khat)
+    return res, approx_mean, approx_cov
+
+
+# -- plotting (optional; requires matplotlib) -------------------------------
+
+def plot_approx_and_exact_contours(log_density, var_family, var_param,
+                                   xlim=(-10, 10), ylim=(-3, 3),
+                                   cmap2='Reds', savepath=None):
+    """(reference: notebooks/experiments.py:94-112)"""
+    import matplotlib.pyplot as plt
+    xlist = np.linspace(*xlim, 100)
+    ylist = np.linspace(*ylim, 100)
+    X, Y = np.meshgrid(xlist, ylist)
+    XY = np.concatenate([np.atleast_2d(X.ravel()),
+                         np.atleast_2d(Y.ravel())]).T
+    zs = np.exp(np.asarray(log_density(jnp.asarray(XY))))
+    Z = zs.reshape(X.shape)
+    zsapprox = np.exp(np.asarray(var_family.log_prob(jnp.asarray(var_param),
+                                                     jnp.asarray(XY))))
+    Zapprox = zsapprox.reshape(X.shape)
+    plt.contour(X, Y, Z, cmap='Greys', linestyles='solid')
+    plt.contour(X, Y, Zapprox, cmap=cmap2, linestyles='solid')
+    if savepath is not None:
+        plt.savefig(savepath, bbox_inches='tight')
+    plt.show()
+
+
+def plot_history(history, B=None, ylabel=None):
+    """(reference: notebooks/experiments.py:115-127)"""
+    import matplotlib.pyplot as plt
+    history = np.asarray(history)
+    if B is None:
+        B = min(500, history.size // 10)
+    window = np.ones(B) / B
+    smoothed_history = np.convolve(history, window, 'valid')
+    plt.plot(smoothed_history)
+    yscale = 'log' if np.all(smoothed_history > 0) else 'linear'
+    plt.yscale(yscale)
+    if ylabel is not None:
+        plt.ylabel(ylabel)
+    plt.xlabel('iteration')
+    plt.show()
+
+
+def plot_dist_to_opt_param(var_param_history, opt_param):
+    """(reference: notebooks/experiments.py:130-136)"""
+    import matplotlib.pyplot as plt
+    d = np.linalg.norm(np.asarray(var_param_history)
+                       - np.asarray(opt_param)[np.newaxis, :], axis=1)
+    plt.plot(d)
+    plt.title('iteration vs distance to optimal parameter')
+    plt.xlabel('iteration')
+    plt.ylabel('distance')
+    plt.show()
+
+
+# -- the experiment driver --------------------------------------------------
+
+def _optimize_and_check_results(log_density, var_family, objective_and_grad,
+                                init_var_param, true_mean, true_cov,
+                                plot_contours, ylabel, contour_kws=None,
+                                elbo=None, n_iters=5000, bound_w2=True,
+                                verbose=False, use_psis=True,
+                                n_psis_samples=1000000, key=None, **kwargs):
+    """(reference: notebooks/experiments.py:138-180)"""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    opt_key, bound_key, psis_key = jax.random.split(key, 3)
+    opt_param, var_param_history, value_history, _ = adagrad_optimize(
+        n_iters, objective_and_grad, init_var_param, key=opt_key, **kwargs)
+    if plot_contours:
+        plot_dist_to_opt_param(var_param_history, opt_param)
+    accuracy_results = check_approx_accuracy(var_family, opt_param,
+                                             true_mean, true_cov, verbose)
+    other_results = dict(opt_param=np.asarray(opt_param),
+                         var_param_history=np.asarray(var_param_history),
+                         value_history=np.asarray(value_history))
+    if bound_w2 not in [False, None]:
+        n_samples = 1000000 if bound_w2 is True else int(bound_w2)
+        print()
+        with Timer('Computing CUBO and ELBO with {} samples'.format(n_samples),
+                   sync=lambda: ()):
+            _, log_weights = get_samples_and_log_weights(
+                log_density, var_family, opt_param, n_samples, bound_key)
+            var_dist_cov = np.asarray(var_family.mean_and_cov(opt_param)[1])
+            moment_bound_fn = lambda p: float(
+                var_family.pth_moment(opt_param, p))
+            other_results.update(all_bounds(log_weights,
+                                            q_var=var_dist_cov,
+                                            moment_bound_fn=moment_bound_fn,
+                                            log_norm_bound=elbo))
+        if verbose:
+            print()
+            print_bounds(other_results)
+    if plot_contours:
+        plot_approx_and_exact_contours(log_density, var_family, opt_param,
+                                       **(contour_kws or {}))
+    if use_psis:
+        print()
+        print('Results with PSIS correction')
+        print('----------------------------')
+        other_results['psis_results'], _, _ = improve_with_psis(
+            log_density, var_family, opt_param, n_psis_samples,
+            true_mean, true_cov, verbose=verbose, key=psis_key)
+    return accuracy_results, other_results
+
+
+def run_experiment(log_density, var_family, init_param, true_mean, true_cov,
+                   kl_n_samples=100, chivi_n_samples=500, alpha=2,
+                   plot_contours=None, key=None, **kwargs):
+    """Run KLVI then CHIVI on a target, reusing KLVI's ELBO as CHIVI's
+    log-normalizer bound (reference: notebooks/experiments.py:183-210).
+
+    Contour plots are produced for 2-D targets only when matplotlib is
+    importable (pass ``plot_contours=False`` to disable explicitly).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    klvi = black_box_klvi(var_family, log_density, kl_n_samples)
+    chivi = black_box_chivi(alpha, var_family, log_density, chivi_n_samples)
+    true_mean = np.asarray(true_mean)
+    if plot_contours is None:
+        try:
+            import matplotlib  # noqa: F401
+            plot_contours = true_mean.size == 2
+        except ImportError:
+            plot_contours = False
+    if plot_contours:
+        plot_approx_and_exact_contours(log_density, var_family, init_param,
+                                       **kwargs.get('contour_kws', {}))
+
+    kl_key, chivi_key = jax.random.split(key)
+    print('|--------------|')
+    print('|     KLVI     |')
+    print('|--------------|', flush=True)
+    kl_results, other_kl_results = _optimize_and_check_results(
+        log_density, var_family, klvi, init_param,
+        true_mean, true_cov, plot_contours, '-ELBO', key=kl_key, **kwargs)
+    kl_results['method'] = 'KLVI'
+    print()
+    print('|---------------|')
+    print('|     CHIVI     |')
+    print('|---------------|', flush=True)
+    elbo = other_kl_results.get('log_norm_bound')
+    chivi_results, other_chivi_results = _optimize_and_check_results(
+        log_density, var_family, chivi, init_param, true_mean, true_cov,
+        plot_contours, 'CUBO', elbo=elbo, key=chivi_key, **kwargs)
+    chivi_results['method'] = 'CHIVI'
+    return (klvi, chivi, kl_results, chivi_results, other_kl_results,
+            other_chivi_results)

@@ -24,6 +24,8 @@ __all__ = [
     'black_box_klvi_pd',
     'black_box_klvi_pd2',
     'black_box_chivi',
+    'black_box_chivi_neff',
+    'perturbed_black_box_vi',
     'vectorize_log_density',
 ]
 
@@ -135,3 +137,66 @@ def black_box_chivi(alpha, var_family, log_density, n_samples):
     objective_grad_and_log_norm.has_log_norm = True
     objective_grad_and_log_norm.compute_log_weights = compute_log_weights
     return objective_grad_and_log_norm
+
+
+def black_box_chivi_neff(alpha, var_family, log_density, n_samples):
+    """CHIVI with an effective-sample-size-aware gradient.
+
+    Reconstruction of `black_box_chivi_neff`, which the reference notebooks
+    import but whose source is absent from the repo
+    (reference: notebooks/chive_expts_3.ipynb cells 1 & 24; SURVEY.md
+    section 2.3).  Identical to `black_box_chivi` except the gradient is
+    normalized by the effective sample size
+    ``n_eff = (sum w^alpha)^2 / sum w^(2 alpha)`` of the exponentiated
+    weights instead of by `n_samples`, damping steps taken on weight sets
+    dominated by a few samples.  Also reports `n_eff` via a fourth output.
+    """
+
+    def compute_log_weights(var_param, key):
+        samples = var_family.sample(key, var_param, n_samples)
+        return log_density(samples) - var_family.log_prob(var_param, samples)
+
+    def objective_grad_and_log_norm(var_param, key):
+        log_weights, vjp_fn = jax.vjp(
+            lambda p: compute_log_weights(p, key), var_param)
+        log_norm = jnp.max(log_weights)
+        scaled_values = jnp.exp(log_weights - log_norm) ** alpha
+        obj_value = jnp.log(jnp.mean(scaled_values)) / alpha + log_norm
+        neff = (jnp.sum(scaled_values) ** 2
+                / jnp.sum(scaled_values ** 2))
+        cotangent = jax.lax.stop_gradient(scaled_values)
+        obj_grad = alpha * vjp_fn(cotangent)[0] / neff
+        return obj_value, obj_grad, log_norm, neff
+
+    objective_grad_and_log_norm.has_log_norm = True
+    objective_grad_and_log_norm.compute_log_weights = compute_log_weights
+    return objective_grad_and_log_norm
+
+
+def perturbed_black_box_vi(var_family, log_density, n_samples,
+                           perturbation_scale=0.1):
+    """KLVI with Gaussian parameter-space perturbation (smoothed objective).
+
+    Reconstruction of `perturbed_black_box_vi` / the perturb-optimize
+    experiments, imported by the reference notebooks but absent from the
+    repo (reference: notebooks/chivi_expts.ipynb cell 1; SURVEY.md
+    section 2.3).  Each evaluation perturbs the variational parameters with
+    ``N(0, perturbation_scale^2)`` noise before computing the KLVI
+    objective — gradient smoothing that helps escape poor basins in the
+    CHIVI experiments the notebooks run.
+    """
+
+    def objective(var_param, key):
+        perturb_key, sample_key = jax.random.split(key)
+        noise = perturbation_scale * jax.random.normal(
+            perturb_key, var_param.shape, dtype=var_param.dtype)
+        perturbed = var_param + noise
+        samples = var_family.sample(sample_key, perturbed, n_samples)
+        lower_bound = (var_family.entropy(perturbed)
+                       + jnp.mean(log_density(samples)))
+        return -lower_bound
+
+    objective_and_grad = jax.value_and_grad(objective)
+    objective_and_grad.has_log_norm = False
+    objective_and_grad.objective = objective
+    return objective_and_grad

@@ -17,7 +17,7 @@ All optimizers accept `objective_and_grad(var_param, key)` returning
 (or use an objective carrying the ``has_log_norm`` attribute, e.g.
 `black_box_chivi`) for the 3-output form.
 """
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -62,17 +62,37 @@ def learning_rate_schedule(i, n_iters, learning_rate, learning_rate_end=None):
                      jnp.where(i < end_decrease_at, mid, learning_rate_end))
 
 
-def _wrap_objective(objective_and_grad, has_log_norm):
-    """Normalize an objective to the 3-output (value, grad, log_norm) form."""
-    if has_log_norm is None:
-        has_log_norm = getattr(objective_and_grad, 'has_log_norm', False)
-    if has_log_norm:
-        return objective_and_grad
+@lru_cache(maxsize=256)
+def _pad_objective(objective_and_grad):
     def wrapped(var_param, key):
         out = objective_and_grad(var_param, key)
         value, grad = out[0], out[1]
         return value, grad, jnp.zeros_like(value)
     return wrapped
+
+
+@lru_cache(maxsize=256)
+def _truncate_objective(objective_and_grad):
+    def wrapped(var_param, key):
+        out = objective_and_grad(var_param, key)
+        return out[0], out[1], out[2]
+    return wrapped
+
+
+def _wrap_objective(objective_and_grad, has_log_norm):
+    """Normalize an objective to the 3-output (value, grad, log_norm) form.
+
+    Objectives may return (value, grad), (value, grad, log_norm), or longer
+    tuples with extra diagnostics (e.g. `black_box_chivi_neff`'s n_eff).
+    The wrappers are cached per underlying objective so the compiled
+    optimizer runners (which treat the objective as a static argument) hit
+    the jit cache on repeated calls.
+    """
+    if has_log_norm is None:
+        has_log_norm = getattr(objective_and_grad, 'has_log_norm', False)
+    if has_log_norm:
+        return _truncate_objective(objective_and_grad)
+    return _pad_objective(objective_and_grad)
 
 
 class _WindowState(NamedTuple):
@@ -101,6 +121,34 @@ def _window_accum(state, i, grad, log_norm, window):
     return _WindowState(grads, log_norms), accum_sum
 
 
+@partial(jax.jit, static_argnames=('obj', 'n_iters', 'window',
+                                   'learning_rate', 'epsilon',
+                                   'learning_rate_end'))
+def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
+                 learning_rate_end, init_param, key):
+    """Compiled whole-loop adagrad.  Static over the objective (a hashable
+    function) and hyperparameters, so repeated calls with fresh
+    params/keys hit the jit cache."""
+    dtype = init_param.dtype
+    P = init_param.shape[0]
+
+    def step(carry, i):
+        param, wstate = carry
+        it_key = jax.random.fold_in(key, i)
+        value, grad, log_norm = obj(param, it_key)
+        wstate, accum_sum = _window_accum(wstate, i, grad, log_norm, window)
+        lr = learning_rate_schedule(i, n_iters, learning_rate,
+                                    learning_rate_end).astype(dtype)
+        param = param - lr * grad / jnp.sqrt(epsilon + accum_sum)
+        return (param, wstate), (value, log_norm, param)
+
+    wstate = _WindowState(jnp.zeros((window, P), dtype),
+                          jnp.zeros((window,), dtype))
+    (_, _), (values, log_norms, params) = jax.lax.scan(
+        step, (init_param, wstate), jnp.arange(n_iters))
+    return values, log_norms, params
+
+
 def adagrad_optimize(n_iters, objective_and_grad, init_param, *, key=None,
                      has_log_norm=None, window=10, learning_rate=.01,
                      epsilon=.1, learning_rate_end=None):
@@ -118,28 +166,9 @@ def adagrad_optimize(n_iters, objective_and_grad, init_param, *, key=None,
         key = jax.random.PRNGKey(0)
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
-    dtype = init_param.dtype
-    P = init_param.shape[0]
-
-    def step(carry, i):
-        param, wstate = carry
-        it_key = jax.random.fold_in(key, i)
-        value, grad, log_norm = obj(param, it_key)
-        wstate, accum_sum = _window_accum(wstate, i, grad, log_norm, window)
-        lr = learning_rate_schedule(i, n_iters, learning_rate,
-                                    learning_rate_end).astype(dtype)
-        param = param - lr * grad / jnp.sqrt(epsilon + accum_sum)
-        return (param, wstate), (value, log_norm, param)
-
-    @jax.jit
-    def run(init_param):
-        wstate = _WindowState(jnp.zeros((window, P), dtype),
-                              jnp.zeros((window,), dtype))
-        (_, _), (values, log_norms, params) = jax.lax.scan(
-            step, (init_param, wstate), jnp.arange(n_iters))
-        return values, log_norms, params
-
-    values, log_norms, params = run(init_param)
+    values, log_norms, params = _adagrad_run(
+        obj, n_iters, window, learning_rate, epsilon, learning_rate_end,
+        init_param, key)
     tail = params[3 * n_iters // 4:]
     smoothed_opt_param = jnp.mean(tail, axis=0)
     return smoothed_opt_param, tail, values, log_norms
@@ -157,24 +186,51 @@ def _perturbed_inits(init_param, n_optimisers, scale, key):
     return init_param[None, :] + noise * mult[:, None]
 
 
-def _run_chains(step_factory, n_iters, obj, inits, keys):
-    """vmap a per-chain lax.scan over the chain axis.
+@partial(jax.jit, static_argnames=('obj', 'kind', 'n_iters', 'learning_rate',
+                                   'epsilon', 'learning_rate_end'))
+def _chains_run(obj, kind, n_iters, learning_rate, epsilon,
+                learning_rate_end, inits, keys):
+    """vmapped per-chain lax.scan, compiled once per (objective, config).
 
     TPU-native replacement for the reference's sequential
     ``for o in range(n_optimisers)`` loop (reference: viabel/vb.py:417, 582).
+    `kind` selects the update rule: 'rmsprop' (EMA of squared grads,
+    alpha=0.9; reference: viabel/vb.py:446-464) or 'adam' (bias-corrected
+    moments with power i+2; reference: viabel/vb.py:611-623).  The history
+    records pre-update parameters (reference: viabel/vb.py:466, 628).
     """
+    alpha, beta1, beta2 = 0.9, 0.9, 0.999
+
     def one_chain(init_param, chain_key):
-        def step(carry, i):
-            return step_factory(carry, i, chain_key)
-        P = init_param.shape[0]
         dtype = init_param.dtype
-        carry0 = (init_param,
-                  jnp.zeros((P,), dtype),   # second-moment EMA
-                  jnp.zeros((P,), dtype))   # first-moment EMA (Adam only)
+        P = init_param.shape[0]
+
+        def step(carry, i):
+            param, v, m = carry
+            it_key = jax.random.fold_in(chain_key, i)
+            value, grad, log_norm = obj(param, it_key)
+            lr = learning_rate_schedule(i, n_iters, learning_rate,
+                                        learning_rate_end).astype(dtype)
+            if kind == 'rmsprop':
+                v = jnp.where(i == 0, grad ** 2,
+                              v * alpha + (1. - alpha) * grad ** 2)
+                new_param = param - lr * grad / jnp.sqrt(epsilon + v)
+            else:  # adam
+                v = jnp.where(i == 0, 0.9 * grad ** 2,
+                              v * beta2 + (1. - beta2) * grad ** 2)
+                m = jnp.where(i == 0, 0.9 * grad,
+                              m * beta1 + (1. - beta1) * grad)
+                fi = (i + 2).astype(dtype)
+                m_hat = m / (1 - beta1 ** fi)
+                v_hat = v / (1 - beta2 ** fi)
+                new_param = param - lr * m_hat / jnp.sqrt(epsilon + v_hat)
+            return (new_param, v, m), (value, log_norm, param)
+
+        carry0 = (init_param, jnp.zeros((P,), dtype), jnp.zeros((P,), dtype))
         _, ys = jax.lax.scan(step, carry0, jnp.arange(n_iters))
         return ys
 
-    return jax.jit(jax.vmap(one_chain))(inits, keys)
+    return jax.vmap(one_chain)(inits, keys)
 
 
 def _ia_postprocess(n_iters, K, chains, values, log_norms, rhat_window,
@@ -235,7 +291,7 @@ def rmsprop_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
                                   rhat_window=500, averaging=True,
                                   n_optimisers=1, r_mean_threshold=1.15,
                                   r_sigma_threshold=1.20, tail_avg_iters=2000,
-                                  learning_rate_end=None):
+                                  learning_rate_end=None, mesh=None):
     """RMSProp with R-hat-gated iterate averaging over parallel chains
     (reference: viabel/vb.py:392-549).
 
@@ -254,25 +310,17 @@ def rmsprop_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
         key = jax.random.PRNGKey(0)
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
-    dtype = init_param.dtype
-    alpha = 0.9
 
     init_key, *chain_keys = jax.random.split(key, n_optimisers + 1)
     inits = _perturbed_inits(init_param, n_optimisers, 0.5, init_key)
     chain_keys = jnp.stack(chain_keys)
+    if mesh is not None:
+        from .parallel.sharded_chains import shard_chain_inputs
+        inits, chain_keys = shard_chain_inputs(inits, chain_keys, mesh)
 
-    def step_factory(carry, i, chain_key):
-        param, s, m = carry
-        it_key = jax.random.fold_in(chain_key, i)
-        value, grad, log_norm = obj(param, it_key)
-        s = jnp.where(i == 0, grad ** 2, s * alpha + (1. - alpha) * grad ** 2)
-        lr = learning_rate_schedule(i, n_iters, learning_rate,
-                                    learning_rate_end).astype(dtype)
-        new_param = param - lr * grad / jnp.sqrt(epsilon + s)
-        return (new_param, s, m), (value, log_norm, param)
-
-    values, log_norms, chains = _run_chains(step_factory, n_iters, obj,
-                                            inits, chain_keys)
+    values, log_norms, chains = _chains_run(
+        obj, 'rmsprop', n_iters, learning_rate, epsilon, learning_rate_end,
+        inits, chain_keys)
     final_params = np.asarray(chains)[:, -1, :]  # pre-update at last iter
     (avg_means, avg_sigmas, value_history, log_norm_history,
      optimisation_log) = _ia_postprocess(
@@ -288,7 +336,7 @@ def adam_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
                                rhat_window=500, averaging=True,
                                n_optimisers=1, r_mean_threshold=1.15,
                                r_sigma_threshold=1.20, tail_avg_iters=2000,
-                               learning_rate_end=None):
+                               learning_rate_end=None, mesh=None):
     """Adam with R-hat-gated iterate averaging over parallel chains
     (reference: viabel/vb.py:554-712).
 
@@ -302,31 +350,17 @@ def adam_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
         key = jax.random.PRNGKey(0)
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
-    dtype = init_param.dtype
-    beta1, beta2 = 0.9, 0.999
 
     init_key, *chain_keys = jax.random.split(key, n_optimisers + 1)
     inits = _perturbed_inits(init_param, n_optimisers, 0.2, init_key)
     chain_keys = jnp.stack(chain_keys)
+    if mesh is not None:
+        from .parallel.sharded_chains import shard_chain_inputs
+        inits, chain_keys = shard_chain_inputs(inits, chain_keys, mesh)
 
-    def step_factory(carry, i, chain_key):
-        param, v, m = carry
-        it_key = jax.random.fold_in(chain_key, i)
-        value, grad, log_norm = obj(param, it_key)
-        v = jnp.where(i == 0, 0.9 * grad ** 2,
-                      v * beta2 + (1. - beta2) * grad ** 2)
-        m = jnp.where(i == 0, 0.9 * grad,
-                      m * beta1 + (1. - beta1) * grad)
-        fi = (i + 2).astype(dtype) if hasattr(i, 'astype') else i + 2
-        m_hat = m / (1 - beta1 ** fi)
-        v_hat = v / (1 - beta2 ** fi)
-        lr = learning_rate_schedule(i, n_iters, learning_rate,
-                                    learning_rate_end).astype(dtype)
-        new_param = param - lr * m_hat / jnp.sqrt(epsilon + v_hat)
-        return (new_param, v, m), (value, log_norm, param)
-
-    values, log_norms, chains = _run_chains(step_factory, n_iters, obj,
-                                            inits, chain_keys)
+    values, log_norms, chains = _chains_run(
+        obj, 'adam', n_iters, learning_rate, epsilon, learning_rate_end,
+        inits, chain_keys)
     final_params = np.asarray(chains)[:, -1, :]
     (avg_means, avg_sigmas, value_history, log_norm_history,
      optimisation_log) = _ia_postprocess(

@@ -1,0 +1,150 @@
+"""Sample-axis-sharded Monte Carlo bound estimation.
+
+TPU-native scaling of the reference's single-pass numpy bound estimation
+(reference: viabel/bounds.py:169-176, notebooks/experiments.py:159-166,
+which draw up to 2.5e6 samples on one host).  Under `jax.shard_map` each
+device draws and scores only its shard of the samples (keys derived by
+folding in the device's mesh index), and the CUBO/ELBO/moment statistics are
+combined with `pmax`/`psum` collectives over the ICI — samples and
+log-weights are never gathered to one device.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..bounds import divergence_bound, error_bounds, wasserstein_bounds
+
+__all__ = [
+    'sharded_log_weight_stats',
+    'sharded_sample_stats',
+    'sharded_all_bounds',
+]
+
+
+def _stats_from_locals(lw_local, alpha, n_total, axis):
+    """Collective reduction of log-weight statistics (runs per device)."""
+    gmax = jax.lax.pmax(jnp.max(lw_local), axis)
+    w = jnp.exp(lw_local - gmax) ** alpha
+    s_w = jax.lax.psum(jnp.sum(w), axis)
+    s_w2 = jax.lax.psum(jnp.sum(w * w), axis)
+    s_lw = jax.lax.psum(jnp.sum(lw_local), axis)
+    s_lw2 = jax.lax.psum(jnp.sum(lw_local * lw_local), axis)
+    n = jnp.asarray(n_total, lw_local.dtype)
+    mean_w = s_w / n
+    mean_lw = s_lw / n
+    return dict(
+        log_rescale=gmax,
+        mean_rescaled_alpha=mean_w,
+        std_rescaled_alpha=jnp.sqrt(jnp.maximum(s_w2 / n - mean_w ** 2, 0.0)),
+        mean_lw=mean_lw,
+        std_lw=jnp.sqrt(jnp.maximum(s_lw2 / n - mean_lw ** 2, 0.0)),
+    )
+
+
+def sharded_log_weight_stats(log_weights, mesh, alpha=2.0, axis='sample'):
+    """`viabel_tpu.bounds.log_weight_stats` over a mesh-sharded array.
+
+    `log_weights` must be sharded along `axis` (see
+    `viabel_tpu.parallel.shard_over`).  Returns a replicated stats dict
+    consumable by `divergence_bound(..., _stats=...)`.
+    """
+    n_total = log_weights.shape[0]
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
+    def stats(lw_local):
+        return _stats_from_locals(lw_local, alpha, n_total, axis)
+
+    out = stats(log_weights)
+    out['n'] = n_total
+    return out
+
+
+def sharded_sample_stats(samples, mesh, axis='sample'):
+    """Centered moments C2/C4 and covariance of mesh-sharded samples.
+
+    Two-collective pass: global mean first, then centered reductions
+    (the sharded counterpart of `viabel_tpu.bounds.central_moments`).
+    """
+    n, d = samples.shape
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P())
+    def stats(x_local):
+        nf = jnp.asarray(n, x_local.dtype)
+        mean = jax.lax.psum(jnp.sum(x_local, axis=0), axis) / nf
+        c = x_local - mean
+        C2 = jax.lax.psum(jnp.sum(c ** 2), axis) / nf
+        C4 = jax.lax.psum(jnp.sum(jnp.sum(c ** 4, axis=1)), axis) / nf
+        cov = jax.lax.psum(c.T @ c, axis) / (nf - 1)
+        return dict(C2=C2, C4=C4, cov=cov)
+
+    return stats(samples)
+
+
+def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
+                       mesh, alpha=2.0, axis='sample', log_norm_bound=None,
+                       moment_bound_fn=None, q_var=None, p_var=None,
+                       return_log_weights=False):
+    """Fused sharded sample->score->reduce bound estimation.
+
+    Each device generates ``n_samples / n_devices`` samples from the family
+    (per-device keys via `fold_in` of the mesh index), scores them against
+    `model_log_prob`, and the bound statistics are psum-reduced — the
+    mesh-scaled version of `get_samples_and_log_weights` + `all_bounds`
+    (reference: notebooks/experiments.py:60-63, 159-166).
+
+    Returns the `all_bounds` results dict; with `return_log_weights=True`
+    also returns the still-sharded log-weights (for `psislw_sharded`).
+    """
+    n_dev = mesh.shape[axis]
+    if n_samples % n_dev:
+        raise ValueError('n_samples must divide the mesh axis size')
+    n_local = n_samples // n_dev
+    var_param = jnp.asarray(var_param)
+
+    @partial(jax.jit, static_argnums=())
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+             out_specs=(P(), P(axis)))
+    def local_estimate(vp, k):
+        idx = jax.lax.axis_index(axis)
+        k_local = jax.random.fold_in(k, idx)
+        samples = family.sample(k_local, vp, n_local)
+        lw_local = model_log_prob(samples) - family.log_prob(vp, samples)
+        stats = _stats_from_locals(lw_local, alpha, n_samples, axis)
+        if moment_bound_fn is None:
+            nf = jnp.asarray(n_samples, samples.dtype)
+            mean = jax.lax.psum(jnp.sum(samples, axis=0), axis) / nf
+            c = samples - mean
+            stats['C2'] = jax.lax.psum(jnp.sum(c ** 2), axis) / nf
+            stats['C4'] = jax.lax.psum(
+                jnp.sum(jnp.sum(c ** 4, axis=1)), axis) / nf
+            stats['cov'] = jax.lax.psum(c.T @ c, axis) / (nf - 1)
+        return stats, lw_local
+
+    stats, lw_sharded = local_estimate(var_param, key)
+    stats = {k_: v for k_, v in stats.items()}
+    stats['n'] = n_samples
+
+    d2, log_norm_bound = divergence_bound(
+        None, alpha=alpha, log_norm_bound=log_norm_bound,
+        return_log_norm_bound=True, _stats=stats)
+    moments = None
+    if moment_bound_fn is None:
+        moments = dict(C2=stats['C2'], C4=stats['C4'], cov=stats['cov'])
+    results = wasserstein_bounds(d2, samples=None,
+                                 moment_bound_fn=moment_bound_fn,
+                                 _moments=moments)
+    if q_var is None and moments is not None:
+        q_var = np.asarray(moments['cov'])
+        if q_var.shape == (1, 1):
+            q_var = q_var[0, 0]
+    results.update(error_bounds(W1=results['W1'], W2=results['W2'],
+                                q_var=np.inf if q_var is None else q_var,
+                                p_var=np.inf if p_var is None else p_var))
+    results['d2'] = d2
+    results['log_norm_bound'] = log_norm_bound
+    if return_log_weights:
+        return results, lw_sharded
+    return results

@@ -1,0 +1,120 @@
+"""Distributed Pareto-smoothed importance sampling.
+
+Scales `viabel_tpu.psis.psislw` over a mesh-sharded log-weight vector.
+The reference's PSIS globally argsorts all n weights on one host
+(reference: notebooks/psis.py:157-174); but only the largest
+``tail_len = ceil(min(0.2 n, 3 sqrt(n/Reff)))`` weights participate in the
+GPD fit, so the sharded design is:
+
+1. each device takes `lax.top_k(tail_len)` of its local shard,
+2. an `all_gather` moves only those ``n_devices * tail_len`` candidates
+   (not the n weights) to every device,
+3. the global tail, cutoff, GPD fit, and smoothed quantiles are computed
+   replicated (tiny arrays),
+4. each device rewrites its own above-cutoff weights with the smoothed
+   values matching their global rank — body weights never move,
+5. renormalization is a `psum` of exponentials.
+
+Ties at the cutoff: ranks are assigned by value order with index-free
+comparison, so exactly-equal tail values receive the same smoothed quantile
+(the reference's argsort breaks such ties by index; for continuous weights
+this is measure-zero).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..psis import _tail_len, gpdfit, gpinv
+
+__all__ = ['psislw_sharded', 'sharded_psis_moments']
+
+
+def psislw_sharded(log_weights, mesh, Reff=1.0, axis='sample'):
+    """PSIS over a mesh-sharded 1-D log-weight array.
+
+    Returns ``(smoothed_log_weights, khat)`` with the smoothed weights still
+    sharded like the input and `khat` a replicated scalar.  Semantics match
+    `viabel_tpu.psis.psislw` (and hence the reference) up to cutoff-tie
+    ordering.
+    """
+    n = log_weights.shape[0]
+    tail_len = _tail_len(n, Reff)
+    cutoffmin = float(np.log(np.finfo(np.dtype(log_weights.dtype)).tiny))
+
+    # check_vma=False: the tail statistics are computed identically on every
+    # device from the all_gather'ed candidates, but the replication checker
+    # cannot infer that statically.
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis),
+             out_specs=(P(axis), P()), check_vma=False)
+    def smooth(lw_local):
+        gmax = jax.lax.pmax(jnp.max(lw_local), axis)
+        x = lw_local - gmax
+
+        # (1)-(2): local top-k, gather only the candidates
+        local_top, _ = jax.lax.top_k(x, min(tail_len, x.shape[0]))
+        cands = jax.lax.all_gather(local_top, axis).reshape(-1)
+        # (3): replicated global tail (descending) and cutoff
+        g_top, _ = jax.lax.top_k(cands, tail_len + 1)
+        xcutoff = jnp.maximum(g_top[tail_len], cutoffmin)
+        tail_desc = g_top[:tail_len]
+        tail_asc = tail_desc[::-1]
+        mask = tail_asc > xcutoff
+        n2 = jnp.sum(mask)
+
+        expxcutoff = jnp.exp(xcutoff)
+        exceedances = jnp.exp(tail_asc) - expxcutoff
+        k, sigma = gpdfit(exceedances, mask, n2)
+        khat = jnp.where(n2 <= 4, jnp.inf, k)
+        do_smooth = (n2 > 4) & (k >= 1.0 / 3.0) & jnp.isfinite(k)
+
+        pos_in_valid = jnp.arange(tail_len) - (tail_len - n2)
+        n2f = jnp.maximum(n2, 1).astype(x.dtype)
+        sti = jnp.clip((pos_in_valid.astype(x.dtype) + 0.5) / n2f,
+                       1e-12, 1 - 1e-12)
+        qq = jnp.log(gpinv(sti, k, sigma) + expxcutoff)     # ascending
+
+        # (4): rank of each local above-cutoff weight among the ascending
+        # valid tail = (tail_len - n2) + #{valid tail values < v}
+        in_tail = x > xcutoff
+        less_count = jnp.sum(
+            (tail_asc[None, :] < x[:, None]) & mask[None, :], axis=1)
+        rank = jnp.clip(tail_len - n2 + less_count, 0, tail_len - 1)
+        smoothed_vals = qq[rank]
+        x_new = jnp.where(in_tail & do_smooth, smoothed_vals, x)
+        x_new = jnp.where(do_smooth, jnp.minimum(x_new, 0.0), x_new)
+
+        # (5): distributed logsumexp renormalization
+        m = jax.lax.pmax(jnp.max(x_new), axis)
+        z = jax.lax.psum(jnp.sum(jnp.exp(x_new - m)), axis)
+        x_new = x_new - (jnp.log(z) + m)
+        return x_new, khat
+
+    return smooth(log_weights)
+
+
+def sharded_psis_moments(samples, smoothed_log_weights, mesh, axis='sample'):
+    """Self-normalized importance-weighted mean and covariance from sharded
+    samples and smoothed log-weights.
+
+    Mesh-scaled version of `improve_with_psis`'s moment estimation
+    (reference: notebooks/experiments.py:80-87: exp-normalize weights,
+    weighted mean, `np.cov(..., aweights=wts, ddof=0)`).
+    """
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis, None), P(axis)),
+             out_specs=P())
+    def moments(x_local, slw_local):
+        m = jax.lax.pmax(jnp.max(slw_local), axis)
+        w = jnp.exp(slw_local - m)
+        wsum = jax.lax.psum(jnp.sum(w), axis)
+        w = w / wsum
+        mean = jax.lax.psum(jnp.sum(w[:, None] * x_local, axis=0), axis)
+        c = x_local - mean
+        cov = jax.lax.psum((w[:, None] * c).T @ c, axis)
+        return dict(mean=mean, cov=cov)
+
+    out = moments(samples, smoothed_log_weights)
+    return out['mean'], out['cov']

@@ -1,0 +1,68 @@
+"""Profiling and throughput metrics.
+
+The reference's only observability is a wall-clock context manager and tqdm
+iteration rates (SURVEY.md section 5).  This module adds the TPU-native
+equivalents: `jax.profiler` trace capture and throughput meters reporting
+the BASELINE.md north-star counters (iterations/s, density+gradient
+evaluations/s/chip, samples/s).
+"""
+import contextlib
+from time import perf_counter
+
+import jax
+
+__all__ = ['profile_trace', 'ThroughputMeter']
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir):
+    """Capture a `jax.profiler` device trace (viewable in TensorBoard /
+    Perfetto) around the enclosed block."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class ThroughputMeter:
+    """Measure steady-state throughput of a device computation.
+
+    `measure(fn, *args)` runs `fn` once to compile/warm, then `reps` timed
+    runs with `block_until_ready`, and records the best time.  Counters are
+    derived from the supplied work amounts.
+    """
+
+    def __init__(self, reps=3):
+        self.reps = reps
+        self.records = {}
+
+    def measure(self, name, fn, *args, iters=None, evals_per_iter=None,
+                samples=None):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = float('inf')
+        for _ in range(self.reps):
+            t0 = perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, perf_counter() - t0)
+        rec = dict(seconds=best)
+        if iters is not None:
+            rec['it_per_s'] = iters / best
+            if evals_per_iter is not None:
+                rec['evals_per_s'] = iters * evals_per_iter / best
+        if samples is not None:
+            rec['samples_per_s'] = samples / best
+        self.records[name] = rec
+        return out, rec
+
+    def report(self):
+        lines = []
+        for name, rec in self.records.items():
+            parts = ['{:.4g}s'.format(rec['seconds'])]
+            for k in ('it_per_s', 'evals_per_s', 'samples_per_s'):
+                if k in rec:
+                    parts.append('{} = {:.4g}'.format(k, rec[k]))
+            lines.append('{}: {}'.format(name, ', '.join(parts)))
+        return '\n'.join(lines)
