@@ -1,0 +1,93 @@
+"""Statistical parity run: reproduce BASELINE.md's reference numbers.
+
+Runs the benchmark workloads at the reference's full configurations on the
+attached accelerator and writes `benchmarks/RESULTS.md` comparing khat,
+bounds, accuracy, and throughput against the reference notebook outputs
+(BASELINE.md).  Acceptance is statistical (posterior moments and bounds
+within Monte Carlo error; SURVEY.md section 7 "seed-faithful statistical
+comparison"), not bitwise.
+
+Usage: python benchmarks/parity.py [--quick]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def fmt(x, nd=3):
+    return ('{:.' + str(nd) + 'g}').format(float(x))
+
+
+def main(quick=False):
+    import examples.robust_regression as rr
+    import examples.funnel as fu
+    import examples.eight_schools as es
+
+    rows = []
+    t_all = time.perf_counter()
+
+    print('== robust regression ==', flush=True)
+    rr_out = rr.main(full=not quick)
+    rows += [
+        ('robust-regression full-rank KLVI khat', fmt(rr_out['khat_full']),
+         '-0.93'),
+        ('robust-regression full-rank KLVI W2', fmt(rr_out['W2_full']),
+         '0.385'),
+        ('robust-regression full-rank KLVI d2', fmt(rr_out['d2_full']),
+         '5.92e-4'),
+        ('robust-regression full-rank KLVI mean_error',
+         fmt(rr_out['mean_err_full']), '0.0456'),
+    ]
+
+    print('\n== funnel ==', flush=True)
+    fu_out = fu.main(full=not quick)
+    rows += [
+        ('funnel KLVI khat', fmt(fu_out['khat_klvi']), '0.768'),
+        ('funnel CHIVI khat', fmt(fu_out['khat_chivi']), '0.894'),
+    ]
+
+    print('\n== eight schools ==', flush=True)
+    es_out = es.main(full=not quick)
+    rows += [
+        ('eight-schools CP KLVI khat', fmt(es_out['cp']['khat_klvi']),
+         '0.906'),
+        ('eight-schools CP CHIVI khat', fmt(es_out['cp']['khat_chivi']),
+         '0.875'),
+        ('eight-schools NCP KLVI khat', fmt(es_out['ncp']['khat_klvi']),
+         '0.649'),
+        ('eight-schools NCP CHIVI khat', fmt(es_out['ncp']['khat_chivi']),
+         '0.552'),
+    ]
+
+    total = time.perf_counter() - t_all
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'RESULTS.md')
+    with open(out_path, 'w') as f:
+        f.write('# Parity results\n\n')
+        f.write('Hardware: `{}`.  Mode: {}.  Total wall-clock: {:.0f}s '
+                '(includes XLA compilation).\n\n'.format(
+                    jax.devices(), 'quick' if quick else 'full', total))
+        f.write('Reference values are the notebook outputs recorded in '
+                'BASELINE.md (author laptop CPU).  khat and bound values '
+                'are Monte Carlo estimates of solution quality; agreement '
+                'within MC/optimization noise indicates the optimizers '
+                'converge to the same variational solutions as the '
+                'reference.\n\n')
+        f.write('| Metric | viabel_tpu | reference |\n|---|---|---|\n')
+        for name, ours, ref in rows:
+            f.write('| {} | {} | {} |\n'.format(name, ours, ref))
+    print('\nwrote {}'.format(out_path))
+    for name, ours, ref in rows:
+        print('  {:55s} ours={:>9} ref={:>9}'.format(name, ours, ref))
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--quick', action='store_true')
+    main(p.parse_args().quick)

@@ -1,0 +1,102 @@
+"""Robust-regression workload
+(reference: notebooks/robust-regression.ipynb): KLVI with a mean-field
+Student-t family, CHIVI warm-started from the KLVI solution, and full-rank
+Student-t KLVI — each with bounds and PSIS khat."""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, '.')
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viabel_tpu import (adagrad_optimize, all_bounds, black_box_chivi,
+                        black_box_klvi, mean_field_t_variational_family,
+                        t_variational_family)
+from viabel_tpu.experiments import (check_approx_accuracy,
+                                    get_samples_and_log_weights,
+                                    print_bounds)
+from viabel_tpu.models import robust_regression_model
+from viabel_tpu.psis import psislw
+
+
+def bounds_and_khat(model, fam, opt_param, n_samples, key, elbo=None):
+    _, lw = get_samples_and_log_weights(model.log_prob, fam, opt_param,
+                                        n_samples, key)
+    cov = np.asarray(fam.mean_and_cov(opt_param)[1])
+    res = all_bounds(np.asarray(lw), q_var=cov,
+                     moment_bound_fn=lambda p: float(
+                         fam.pth_moment(opt_param, p)),
+                     log_norm_bound=elbo)
+    _, khat = psislw(lw)
+    return res, float(khat), float(np.mean(np.asarray(lw)))
+
+
+def main(full=False):
+    mc_samples = 1000000 if full else 100000
+    n_iters = 5000 if full else 2000
+    model = robust_regression_model()
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+
+    # --- KLVI, mean-field t(40) (reference cells 13-21: 245.65 it/s,
+    #     khat after PSIS = 0.92) ---
+    fam = mean_field_t_variational_family(2, 40)
+    klvi = black_box_klvi(fam, model.log_prob, 100)
+    init = jnp.asarray(np.concatenate([np.zeros(2), np.ones(2)]),
+                       dtype=jnp.float32)
+    t0 = time.perf_counter()
+    klvi_param, _, _, _ = adagrad_optimize(n_iters, klvi, init, key=k1,
+                                           learning_rate=.01)
+    jax.block_until_ready(klvi_param)
+    print('KLVI mf-t(40): {:.0f} it/s (reference laptop 245.65)'.format(
+        n_iters / (time.perf_counter() - t0)))
+    check_approx_accuracy(fam, klvi_param, model.true_mean, model.true_cov,
+                          verbose=True)
+    res, khat, elbo = bounds_and_khat(model, fam, klvi_param, mc_samples, k2)
+    print_bounds(res)
+    print('khat = {:.3f} (reference 0.92)'.format(khat))
+
+    # --- CHIVI alpha=2, warm start (reference cells 23-30: khat 0.341) ---
+    chivi = black_box_chivi(2, fam, model.log_prob, 500)
+    chivi_init = jnp.asarray(np.asarray(klvi_param)).at[2:].add(3.0)
+    t0 = time.perf_counter()
+    chivi_param, _, _, _ = adagrad_optimize(n_iters, chivi, chivi_init,
+                                            key=k3, learning_rate=.01)
+    jax.block_until_ready(chivi_param)
+    print('\nCHIVI: {:.0f} it/s (reference laptop 48.70)'.format(
+        n_iters / (time.perf_counter() - t0)))
+    check_approx_accuracy(fam, chivi_param, model.true_mean, model.true_cov,
+                          verbose=True)
+    res, khat, _ = bounds_and_khat(model, fam, chivi_param, mc_samples, k4,
+                                   elbo=elbo)
+    print_bounds(res)
+    print('khat = {:.3f} (reference 0.341)'.format(khat))
+
+    # --- full-rank t(100) KLVI (reference cells 32-38: khat -0.93,
+    #     W2 = 0.385, d2 = 5.92e-4, mean_err = 0.0456) ---
+    tfam = t_variational_family(2, 100)
+    full_klvi = black_box_klvi(tfam, model.log_prob, 100)
+    tinit = tfam.init_param()
+    t0 = time.perf_counter()
+    full_param, _, _, _ = adagrad_optimize(n_iters, full_klvi, tinit, key=k5,
+                                           learning_rate=.1,
+                                           learning_rate_end=.001)
+    jax.block_until_ready(full_param)
+    print('\nfull-rank KLVI: {:.0f} it/s (reference laptop 143.81)'.format(
+        n_iters / (time.perf_counter() - t0)))
+    check_approx_accuracy(tfam, full_param, model.true_mean, model.true_cov,
+                          verbose=True)
+    res, khat, _ = bounds_and_khat(model, tfam, full_param, mc_samples, k6)
+    print_bounds(res)
+    print('khat = {:.3f} (reference -0.93)'.format(khat))
+    return dict(khat_full=khat, W2_full=res['W2'], d2_full=res['d2'],
+                mean_err_full=res['mean_error'])
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--full', action='store_true')
+    main(p.parse_args().full)

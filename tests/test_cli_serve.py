@@ -1,0 +1,110 @@
+"""Tests for the config system, CLI, and posterior-serving layers."""
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from viabel_tpu.config import ExperimentConfig, build
+
+
+def test_config_roundtrip_and_validation():
+    cfg = ExperimentConfig(model='funnel', family='mean_field_t',
+                           n_iters=100)
+    cfg2 = ExperimentConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    with pytest.raises(ValueError):
+        ExperimentConfig(model='nope')
+    with pytest.raises(ValueError):
+        ExperimentConfig(family='nope')
+    with pytest.raises(ValueError):
+        ExperimentConfig(objective='nope')
+
+
+@pytest.mark.parametrize('model_name', ['funnel', 'robust_regression',
+                                        'eight_schools_ncp',
+                                        'linear_regression'])
+def test_config_builds_all_models(model_name):
+    cfg = ExperimentConfig(model=model_name, n_mc=10)
+    model, family, objective = build(cfg)
+    assert family.dim == model.dim
+    out = objective(family.init_param(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(out[0]))
+
+
+def test_config_builds_all_objectives():
+    for obj_name in ('klvi', 'klvi_pd', 'klvi_pd2', 'chivi', 'chivi_neff'):
+        cfg = ExperimentConfig(model='funnel', objective=obj_name, n_mc=10)
+        _, family, objective = build(cfg)
+        out = objective(family.init_param(), jax.random.PRNGKey(0))
+        assert np.isfinite(float(out[0]))
+
+
+def test_cli_run_smoke(capsys):
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '200', '--n-mc', '10',
+          '--bound-samples', '5000', '--quiet'])
+    out = capsys.readouterr().out
+    assert 'posterior mean estimate' in out
+    assert 'khat' in out
+
+
+def test_cli_configs(capsys):
+    from viabel_tpu.__main__ import main
+    main(['configs'])
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg['model'] == 'funnel'
+
+
+def test_posterior_service_endpoints():
+    from viabel_tpu.serve import PosteriorService, start_server
+    from viabel_tpu import mean_field_gaussian_variational_family
+    from viabel_tpu.models import funnel_model
+
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    var_param = jnp.asarray([0.0, 0.0, -0.4, -0.4], dtype=jnp.float64)
+    service = PosteriorService(model, fam, var_param)
+
+    # direct API
+    s = service.sample(100)
+    assert s.shape == (100, 2)
+    m = service.moments()
+    np.testing.assert_allclose(m['mean'], [0.0, 0.0], atol=1e-12)
+    lp = service.log_prob([[0.0, 0.0]])
+    assert np.isfinite(lp).all()
+    b = service.bounds(20000)
+    assert 'W2' in b and 'd2' in b
+
+    # HTTP surface
+    httpd, t = start_server(service, port=0)
+    port = httpd.server_address[1]
+    base = 'http://127.0.0.1:{}'.format(port)
+    try:
+        health = json.loads(urllib.request.urlopen(base + '/health').read())
+        assert health['status'] == 'ok' and health['dim'] == 2
+        got = json.loads(
+            urllib.request.urlopen(base + '/sample?n=5').read())
+        assert np.asarray(got['samples']).shape == (5, 2)
+        mom = json.loads(urllib.request.urlopen(base + '/moments').read())
+        assert len(mom['mean']) == 2
+        req = urllib.request.Request(
+            base + '/log_prob',
+            data=json.dumps({'x': [[0.0, 0.0]]}).encode(),
+            headers={'Content-Type': 'application/json'})
+        lp = json.loads(urllib.request.urlopen(req).read())
+        assert np.isfinite(lp['log_prob']).all()
+        # error paths
+        bad = urllib.request.Request(
+            base + '/log_prob', data=b'{}',
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(base + '/nope')
+        assert e.value.code == 404
+    finally:
+        httpd.shutdown()

@@ -1,0 +1,156 @@
+"""Command-line interface: ``python -m viabel_tpu <command>``.
+
+The reference has no CLI (experiments are driven from notebooks; SURVEY.md
+section 1).  This provides the missing entry point:
+
+* ``run`` — run a VI experiment from a config (flags or ``--config`` JSON),
+  printing accuracy, bounds, and khat; optional checkpointing.
+* ``bench`` — the throughput benchmark (same as bench.py).
+* ``configs`` — print an example config with all fields.
+
+Examples
+--------
+python -m viabel_tpu run --model funnel --family mean_field_t --n-iters 2000
+python -m viabel_tpu run --config my_experiment.json
+python -m viabel_tpu configs
+"""
+import argparse
+import dataclasses
+import sys
+
+import numpy as np
+
+
+def _cmd_run(args):
+    import jax
+    import jax.numpy as jnp
+    from .config import ExperimentConfig, build
+    from .experiments import (check_approx_accuracy,
+                              get_samples_and_log_weights, improve_with_psis,
+                              print_bounds)
+    from .bounds import all_bounds
+    from .optimizers import (adagrad_optimize, adam_IA_optimize_with_rhat,
+                             rmsprop_IA_optimize_with_rhat)
+    from .psis import psislw
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+    else:
+        fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
+        overrides = {k: v for k, v in vars(args).items()
+                     if k in fields and v is not None}
+        cfg = ExperimentConfig(**overrides)
+    print('config:', cfg.to_json())
+
+    model, family, objective = build(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    opt_key, bound_key, psis_key = jax.random.split(key, 3)
+    init = family.init_param()
+
+    if cfg.optimizer == 'adagrad':
+        if cfg.checkpoint_path:
+            from .checkpoint import adagrad_optimize_resumable
+            opt_param, _, values, _ = adagrad_optimize_resumable(
+                cfg.n_iters, objective, init,
+                checkpoint_path=cfg.checkpoint_path, key=opt_key,
+                learning_rate=cfg.learning_rate,
+                learning_rate_end=cfg.learning_rate_end)
+        else:
+            opt_param, _, values, _ = adagrad_optimize(
+                cfg.n_iters, objective, init, key=opt_key,
+                learning_rate=cfg.learning_rate,
+                learning_rate_end=cfg.learning_rate_end,
+                progress=not args.quiet)
+    else:
+        optimizer = (rmsprop_IA_optimize_with_rhat
+                     if cfg.optimizer == 'rmsprop_ia'
+                     else adam_IA_optimize_with_rhat)
+        out = optimizer(cfg.n_iters, objective, init, model.dim,
+                        key=opt_key, learning_rate=cfg.learning_rate,
+                        learning_rate_end=cfg.learning_rate_end,
+                        n_optimisers=cfg.n_chains)
+        _, _, avg_means, avg_sigmas = out[:4]
+        opt_param = jnp.asarray(np.concatenate([avg_means[0][-1],
+                                                avg_sigmas[0][-1]]))
+        values = out[4]
+        print('iterate-averaging start: mean iter {}, sigma iter {}'.format(
+            out[6]['start_avg_mean_iters'], out[6]['start_avg_sigma_iters']))
+
+    print('final loss (tail mean): {:.6g}'.format(
+        float(np.mean(np.asarray(values)[-max(len(values) // 10, 1):]))))
+    mean, cov = family.mean_and_cov(opt_param)
+    print('posterior mean estimate:', np.round(np.asarray(mean), 4))
+    if model.true_mean is not None:
+        check_approx_accuracy(family, opt_param, model.true_mean,
+                              model.true_cov, verbose=True)
+
+    if cfg.bound_samples:
+        _, lw = get_samples_and_log_weights(
+            model.log_prob, family, opt_param, cfg.bound_samples, bound_key)
+        res = all_bounds(np.asarray(lw),
+                         q_var=np.asarray(cov),
+                         moment_bound_fn=lambda p: float(
+                             family.pth_moment(opt_param, p)))
+        print_bounds(res)
+        _, khat = psislw(lw)
+        print('khat = {:.3f}{}'.format(
+            float(khat), '  (> 0.7: unreliable)' if khat > 0.7 else ''))
+
+
+def _cmd_bench(args):
+    import runpy
+    sys.argv = ['bench.py']
+    runpy.run_path('bench.py', run_name='__main__')
+
+
+def _cmd_configs(args):
+    from .config import ExperimentConfig
+    print(ExperimentConfig().to_json())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog='python -m viabel_tpu')
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    pr = sub.add_parser('run', help='run a VI experiment')
+    pr.add_argument('--config', help='JSON config file')
+    pr.add_argument('--model', choices=('funnel', 'normal_mixture',
+                                        'robust_regression',
+                                        'eight_schools_cp',
+                                        'eight_schools_ncp',
+                                        'linear_regression'))
+    pr.add_argument('--family', choices=('mean_field_gaussian',
+                                         'mean_field_t',
+                                         'full_rank_gaussian',
+                                         'full_rank_t'))
+    pr.add_argument('--objective', choices=('klvi', 'klvi_pd', 'klvi_pd2',
+                                            'chivi', 'chivi_neff'))
+    pr.add_argument('--optimizer', choices=('adagrad', 'rmsprop_ia',
+                                            'adam_ia'))
+    pr.add_argument('--df', type=float)
+    pr.add_argument('--alpha', type=float)
+    pr.add_argument('--n-mc', dest='n_mc', type=int)
+    pr.add_argument('--n-iters', dest='n_iters', type=int)
+    pr.add_argument('--n-chains', dest='n_chains', type=int)
+    pr.add_argument('--learning-rate', dest='learning_rate', type=float)
+    pr.add_argument('--learning-rate-end', dest='learning_rate_end',
+                    type=float)
+    pr.add_argument('--seed', type=int)
+    pr.add_argument('--bound-samples', dest='bound_samples', type=int)
+    pr.add_argument('--checkpoint-path', dest='checkpoint_path')
+    pr.add_argument('--quiet', action='store_true')
+    pr.set_defaults(fn=_cmd_run)
+
+    pb = sub.add_parser('bench', help='run the throughput benchmark')
+    pb.set_defaults(fn=_cmd_bench)
+
+    pc = sub.add_parser('configs', help='print an example config')
+    pc.set_defaults(fn=_cmd_configs)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == '__main__':
+    main()

@@ -121,11 +121,19 @@ def _window_accum(state, i, grad, log_norm, window):
     return _WindowState(grads, log_norms), accum_sum
 
 
+def _progress_report(i, n_iters, value):
+    """Host-side progress line (the reference uses tqdm with a running
+    average-loss description; reference: viabel/vb.py:377-380)."""
+    print('\r  iter {:>7d}/{} | loss = {:<12.6g}'.format(
+        int(i) + 1, int(n_iters), float(value)),
+        end='' if int(i) + 1 < int(n_iters) else '\n', flush=True)
+
+
 @partial(jax.jit, static_argnames=('obj', 'n_iters', 'window',
                                    'learning_rate', 'epsilon',
-                                   'learning_rate_end'))
+                                   'learning_rate_end', 'progress'))
 def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
-                 learning_rate_end, init_param, key):
+                 learning_rate_end, init_param, key, progress=False):
     """Compiled whole-loop adagrad.  Static over the objective (a hashable
     function) and hyperparameters, so repeated calls with fresh
     params/keys hit the jit cache."""
@@ -140,6 +148,14 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
         lr = learning_rate_schedule(i, n_iters, learning_rate,
                                     learning_rate_end).astype(dtype)
         param = param - lr * grad / jnp.sqrt(epsilon + accum_sum)
+        if progress:
+            report_now = (jnp.mod(i, max(n_iters // 100, 1)) == 0) \
+                | (i == n_iters - 1)
+            jax.lax.cond(
+                report_now,
+                lambda: jax.debug.callback(_progress_report, i, n_iters,
+                                           value),
+                lambda: None)
         return (param, wstate), (value, log_norm, param)
 
     wstate = _WindowState(jnp.zeros((window, P), dtype),
@@ -151,7 +167,7 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
 
 def adagrad_optimize(n_iters, objective_and_grad, init_param, *, key=None,
                      has_log_norm=None, window=10, learning_rate=.01,
-                     epsilon=.1, learning_rate_end=None):
+                     epsilon=.1, learning_rate_end=None, progress=False):
     """Windowed adagrad with min-log-norm gradient rescaling and
     tail-quarter iterate averaging (reference: viabel/vb.py:345-389).
 
@@ -168,7 +184,7 @@ def adagrad_optimize(n_iters, objective_and_grad, init_param, *, key=None,
     init_param = jnp.asarray(init_param)
     values, log_norms, params = _adagrad_run(
         obj, n_iters, window, learning_rate, epsilon, learning_rate_end,
-        init_param, key)
+        init_param, key, progress)
     tail = params[3 * n_iters // 4:]
     smoothed_opt_param = jnp.mean(tail, axis=0)
     return smoothed_opt_param, tail, values, log_norms

@@ -1,0 +1,183 @@
+"""Posterior serving: an HTTP service over a fitted variational posterior.
+
+The reference has no serving layer (SURVEY.md section 1 "absent layers").
+This module provides a minimal production-shaped one: load a fitted
+variational parameter (from an `ExperimentConfig` + checkpoint or an
+explicit vector), compile the samplers once, and serve
+
+* ``GET /health``            — liveness + model/family metadata
+* ``GET /moments``           — posterior mean and covariance (JSON)
+* ``GET /sample?n=K``        — K posterior draws (JSON array)
+* ``POST /log_prob``         — log q(x) for a JSON batch of points
+* ``GET /bounds?n=K``        — validated error bounds from K fresh MC
+  log-weights (the library's headline capability, as a service)
+
+Built on the stdlib ``http.server`` (no extra dependencies); requests are
+served from a single compiled JAX program per endpoint.  Start with::
+
+    python -m viabel_tpu.serve --config cfg.json --param ckpt.npz --port 8080
+"""
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+__all__ = ['PosteriorService', 'serve']
+
+
+class PosteriorService:
+    """Compiled query layer over (model, family, var_param)."""
+
+    def __init__(self, model, family, var_param, seed=0):
+        import jax
+        import jax.numpy as jnp
+        self.model = model
+        self.family = family
+        self.var_param = jnp.asarray(var_param)
+        self._key = jax.random.PRNGKey(seed)
+        self._lock = threading.Lock()
+
+        self._sample = jax.jit(family.sample, static_argnums=2)
+        self._log_prob = jax.jit(family.log_prob)
+        mean, cov = family.mean_and_cov(self.var_param)
+        self.mean = np.asarray(mean)
+        self.cov = np.asarray(cov)
+
+        def lw(vp, key, n):
+            s = family.sample(key, vp, n)
+            return model.log_prob(s) - family.log_prob(vp, s)
+        self._lw = jax.jit(lw, static_argnums=2)
+
+    def _next_key(self):
+        import jax
+        with self._lock:
+            self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def sample(self, n):
+        return np.asarray(self._sample(self._next_key(), self.var_param, n))
+
+    def moments(self):
+        return dict(mean=self.mean.tolist(), cov=self.cov.tolist())
+
+    def log_prob(self, x):
+        import jax.numpy as jnp
+        return np.asarray(self._log_prob(self.var_param, jnp.asarray(
+            np.atleast_2d(np.asarray(x, dtype=np.float32)))))
+
+    def bounds(self, n):
+        from .bounds import all_bounds
+        lw = np.asarray(self._lw(self.var_param, self._next_key(), n))
+        res = all_bounds(lw, q_var=self.cov,
+                         moment_bound_fn=lambda p: float(
+                             self.family.pth_moment(self.var_param, p)))
+        return {k: float(v) for k, v in res.items()}
+
+
+def _make_handler(service):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, obj, status=200):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            try:
+                if url.path == '/health':
+                    self._json(dict(status='ok',
+                                    model=service.model.name,
+                                    family=service.family.name,
+                                    dim=service.model.dim))
+                elif url.path == '/moments':
+                    self._json(service.moments())
+                elif url.path == '/sample':
+                    n = min(int(q.get('n', ['1'])[0]), 1000000)
+                    self._json(dict(samples=service.sample(n).tolist()))
+                elif url.path == '/bounds':
+                    n = min(int(q.get('n', ['100000'])[0]), 10000000)
+                    self._json(service.bounds(n))
+                else:
+                    self._json(dict(error='unknown endpoint'), 404)
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._json(dict(error=str(e)), 500)
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                payload = json.loads(self.rfile.read(length) or b'{}')
+                if url.path == '/log_prob':
+                    x = payload.get('x')
+                    if x is None:
+                        return self._json(dict(error='missing "x"'), 400)
+                    self._json(dict(log_prob=service.log_prob(x).tolist()))
+                else:
+                    self._json(dict(error='unknown endpoint'), 404)
+            except Exception as e:
+                self._json(dict(error=str(e)), 500)
+
+    return Handler
+
+
+def serve(service, port=8080, host='127.0.0.1'):
+    """Run the HTTP server (blocking).  Returns the server object when
+    started with `start_background=True` via `start_server`."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    httpd.serve_forever()
+
+
+def start_server(service, port=8080, host='127.0.0.1'):
+    """Start the server on a daemon thread; returns (server, thread)."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, t
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(prog='python -m viabel_tpu.serve')
+    p.add_argument('--config', required=True, help='ExperimentConfig JSON')
+    p.add_argument('--param', help='checkpoint .npz with the fitted param '
+                                   '(defaults to fitting from scratch)')
+    p.add_argument('--port', type=int, default=8080)
+    p.add_argument('--host', default='127.0.0.1')
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from .config import ExperimentConfig, build
+    from .optimizers import adagrad_optimize
+
+    with open(args.config) as f:
+        cfg = ExperimentConfig.from_json(f.read())
+    model, family, objective = build(cfg)
+    if args.param:
+        with np.load(args.param) as d:
+            names = [k for k in d.files if k.startswith('leaf_')]
+            var_param = d[names[0]] if names else d[d.files[0]]
+    else:
+        print('no --param given; fitting {} iters...'.format(cfg.n_iters))
+        var_param, _, _, _ = adagrad_optimize(
+            cfg.n_iters, objective, family.init_param(),
+            key=jax.random.PRNGKey(cfg.seed),
+            learning_rate=cfg.learning_rate,
+            learning_rate_end=cfg.learning_rate_end)
+    service = PosteriorService(model, family, var_param, seed=cfg.seed)
+    print('serving {} / {} on {}:{}'.format(model.name, family.name,
+                                            args.host, args.port))
+    serve(service, port=args.port, host=args.host)
+
+
+if __name__ == '__main__':
+    main()
