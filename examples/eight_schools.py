@@ -20,14 +20,14 @@ from viabel_tpu.models import (eight_schools_cp_model,
                                eight_schools_ncp_model)
 
 
-def run(model, init, n_iters, full, key, label, ref_khats):
+def run(model, init, n_iters, full, key, label, ref_khats, mc_samples=None):
     fam = mean_field_t_variational_family(model.dim, 40)
     print('\n################ {} ################'.format(label))
     out = run_experiment(
         model.log_prob, fam, init, np.zeros(model.dim), np.eye(model.dim),
         learning_rate=.01, learning_rate_end=.001, n_iters=n_iters,
-        bound_w2=2500000 if full else 100000,
-        n_psis_samples=1000000 if full else 100000,
+        bound_w2=mc_samples or (2500000 if full else 100000),
+        n_psis_samples=mc_samples or (1000000 if full else 100000),
         verbose=False, plot_contours=False, key=key)
     k_klvi = out[4]['psis_results']['khat']
     k_chivi = out[5]['psis_results']['khat']
@@ -37,7 +37,7 @@ def run(model, init, n_iters, full, key, label, ref_khats):
     return dict(khat_klvi=k_klvi, khat_chivi=k_chivi, out=out)
 
 
-def main(full=False):
+def main(full=False, n_iters=None, mc_samples=None):
     # init near the posterior bulk, mirroring the reference's moment-based
     # init (reference: eight-schools.ipynb cell 16 inits at NUTS moments)
     mu0, log_tau0 = 4.0, 1.2
@@ -48,11 +48,13 @@ def main(full=False):
                                            np.zeros(10)]), dtype=jnp.float32)
 
     cp = run(eight_schools_cp_model(), init_cp,
-             10000 if full else 2000, full, jax.random.PRNGKey(0),
-             'centered (CP)', (0.906, 0.875))
+             n_iters or (10000 if full else 2000), full,
+             jax.random.PRNGKey(0), 'centered (CP)', (0.906, 0.875),
+             mc_samples)
     ncp = run(eight_schools_ncp_model(), init_ncp,
-              5000 if full else 2000, full, jax.random.PRNGKey(1),
-              'non-centered (NCP)', (0.649, 0.552))
+              n_iters or (5000 if full else 2000), full,
+              jax.random.PRNGKey(1), 'non-centered (NCP)', (0.649, 0.552),
+              mc_samples)
     return dict(cp=cp, ncp=ncp)
 
 

@@ -15,7 +15,7 @@ from viabel_tpu.experiments import run_experiment
 from viabel_tpu.models import funnel_model
 
 
-def main(full=False):
+def main(full=False, n_iters=None, mc_samples=None):
     model = funnel_model()
     fam = mean_field_t_variational_family(2, 40)
     init = jnp.asarray(np.concatenate([[0.0, -1.0], np.ones(2)]),
@@ -23,9 +23,9 @@ def main(full=False):
     out = run_experiment(
         model.log_prob, fam, init, model.true_mean, model.true_cov,
         learning_rate=.01, learning_rate_end=.001,
-        n_iters=10000 if full else 2000,
-        bound_w2=1000000 if full else 100000,
-        n_psis_samples=1000000 if full else 100000,
+        n_iters=n_iters or (10000 if full else 2000),
+        bound_w2=mc_samples or (1000000 if full else 100000),
+        n_psis_samples=mc_samples or (1000000 if full else 100000),
         verbose=True, plot_contours=False, key=jax.random.PRNGKey(0))
     klvi_khat = out[4]['psis_results']['khat']
     chivi_khat = out[5]['psis_results']['khat']

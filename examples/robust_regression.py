@@ -34,9 +34,9 @@ def bounds_and_khat(model, fam, opt_param, n_samples, key, elbo=None):
     return res, float(khat), float(np.mean(np.asarray(lw)))
 
 
-def main(full=False):
-    mc_samples = 1000000 if full else 100000
-    n_iters = 5000 if full else 2000
+def main(full=False, mc_samples=None, n_iters=None):
+    mc_samples = mc_samples or (1000000 if full else 100000)
+    n_iters = n_iters or (5000 if full else 2000)
     model = robust_regression_model()
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)

@@ -1,0 +1,63 @@
+"""Smoke tests keeping the example scripts (the notebook counterparts)
+runnable; tiny sizes so they execute quickly on the CPU test mesh."""
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _repo_on_path(monkeypatch):
+    monkeypatch.chdir(__file__.rsplit('/', 2)[0])
+    sys.path.insert(0, '.')
+    yield
+    sys.path.remove('.')
+
+
+def test_normal_mixture_example(capsys):
+    from examples import normal_mixture
+    normal_mixture.main()
+    out = capsys.readouterr().out
+    assert '2-Wasserstein' in out
+
+
+def test_funnel_example():
+    from examples import funnel
+    res = funnel.main(full=False, n_iters=300, mc_samples=20000)
+    assert np.isfinite(res['khat_klvi'])
+    assert np.isfinite(res['khat_chivi'])
+
+
+def test_robust_regression_example():
+    from examples import robust_regression
+    res = robust_regression.main(full=False, n_iters=300, mc_samples=20000)
+    assert np.isfinite(res['khat_full'])
+    assert res['W2_full'] > 0
+
+
+def test_eight_schools_example():
+    from examples import eight_schools
+    res = eight_schools.main(full=False, n_iters=300, mc_samples=20000)
+    assert np.isfinite(res['cp']['khat_klvi'])
+    assert np.isfinite(res['ncp']['khat_klvi'])
+
+
+def test_linear_regression_ia_example(capsys):
+    from examples import linear_regression_ia
+    # shrink by calling the module pieces directly with tiny settings
+    import jax
+    import jax.numpy as jnp
+    from viabel_tpu import (black_box_klvi,
+                            mean_field_gaussian_variational_family,
+                            rmsprop_IA_optimize_with_rhat)
+    from viabel_tpu.models import (data_generator_linear,
+                                   linear_regression_model)
+    data = data_generator_linear(N=50, D=3, seed=1)
+    model = linear_regression_model(data['X'], data['Y'])
+    fam = mean_field_gaussian_variational_family(3)
+    obj = black_box_klvi(fam, model.log_prob, 30)
+    out = rmsprop_IA_optimize_with_rhat(
+        400, obj, jnp.zeros(6), 3, key=jax.random.PRNGKey(0),
+        learning_rate=.02, n_optimisers=2, rhat_window=100,
+        tail_avg_iters=100)
+    np.testing.assert_allclose(out[2][0][-1], model.true_mean, atol=0.15)

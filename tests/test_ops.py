@@ -41,6 +41,48 @@ def test_streaming_lw_stats_f64_falls_back():
         np.testing.assert_allclose(float(a[k]), float(b[k]), rtol=1e-12)
 
 
+def test_fused_location_scale_matches_xla_exactly():
+    """Same standard draws through the fused kernel and the XLA path give
+    identical log-weights (f32 tolerance), for Gaussian and t families."""
+    from viabel_tpu.models import funnel_model
+    from viabel_tpu.ops import (fused_location_scale_lw_stats,
+                                normal_base_logpdf_rows,
+                                student_t_base_logpdf_rows)
+    from viabel_tpu.ops.row_models import funnel_rows
+    from viabel_tpu import (mean_field_gaussian_variational_family,
+                            mean_field_t_variational_family)
+
+    m = funnel_model()
+    mean = jnp.asarray([0.1, -0.2], jnp.float32)
+    ls = jnp.asarray([-0.4, -0.3], jnp.float32)
+    vp = jnp.concatenate([mean, ls])
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (20000, 2),
+                          dtype=jnp.float32)
+    lw_k, stats_k = fused_location_scale_lw_stats(
+        funnel_rows(), normal_base_logpdf_rows(2), z, mean, ls,
+        interpret=True)
+    fam = mean_field_gaussian_variational_family(2)
+    x = mean + jnp.exp(ls) * z
+    lw_x = m.log_prob(x) - fam.log_prob(vp, x)
+    np.testing.assert_allclose(np.asarray(lw_k), np.asarray(lw_x),
+                               atol=2e-4)
+    np.testing.assert_allclose(float(stats_k['mean_lw']),
+                               float(jnp.mean(lw_x)), rtol=1e-4)
+
+    df = 40
+    zt = jax.random.t(jax.random.PRNGKey(1), df, (20000, 2),
+                      dtype=jnp.float32)
+    lw_kt, _ = fused_location_scale_lw_stats(
+        funnel_rows(), student_t_base_logpdf_rows(2, df), zt, mean, ls,
+        interpret=True)
+    famt = mean_field_t_variational_family(2, df)
+    xt = mean + jnp.exp(ls) * zt
+    lw_xt = m.log_prob(xt) - famt.log_prob(vp, xt)
+    np.testing.assert_allclose(np.asarray(lw_kt), np.asarray(lw_xt),
+                               atol=5e-4)
+
+
 def test_row_models_match_column_models():
     """Row-layout kernels' model adapters agree with the zoo models."""
     from viabel_tpu.models import (eight_schools_cp_model,

@@ -18,6 +18,7 @@ from .bounds import (all_bounds, divergence_bound, error_bounds,
 from .distributions import multivariate_t_logpdf
 from .families import (VariationalFamily,
                        full_rank_gaussian_variational_family,
+                       init_from_moments,
                        mean_field_gaussian_variational_family,
                        mean_field_t_variational_family,
                        t_variational_family)
@@ -43,6 +44,7 @@ __all__ = [
     'mean_field_t_variational_family',
     'full_rank_gaussian_variational_family',
     't_variational_family',
+    'init_from_moments',
     # objectives (viabel/vb.py:236-298 + notebook-referenced variants)
     'black_box_klvi', 'black_box_klvi_pd', 'black_box_klvi_pd2',
     'black_box_chivi', 'black_box_chivi_neff', 'perturbed_black_box_vi',

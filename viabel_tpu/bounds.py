@@ -24,6 +24,7 @@ the same kernel runs sharded over a device mesh with `psum` reductions in
 `viabel_tpu.parallel.sharded_bounds`.  The scalar bound algebra stays in
 Python/numpy — there is nothing to accelerate there.
 """
+import os
 from functools import partial
 from warnings import warn
 
@@ -191,9 +192,6 @@ def error_bounds(W1=np.inf, W2=np.inf, q_var=np.inf, p_var=np.inf):
     results['cov_error'] = var_bound(W2, _compute_norm_if_needed(q_var),
                                      _compute_norm_if_needed(p_var))
     return results
-
-
-import os
 
 
 def _lw_stats_dispatch(lw, alpha):

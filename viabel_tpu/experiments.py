@@ -26,6 +26,7 @@ __all__ = [
     'get_samples_and_log_weights',
     'psis_correction',
     'improve_with_psis',
+    'improve_with_psis_sharded',
     'run_experiment',
     'plot_approx_and_exact_contours',
     'plot_history',
@@ -136,6 +137,32 @@ def improve_with_psis(log_density, var_family, var_param, n_samples,
                          verbose)
     res['khat'] = float(khat)
     return res, approx_mean, approx_cov
+
+
+def improve_with_psis_sharded(log_density, var_family, var_param, n_samples,
+                              true_mean, true_cov, mesh, verbose=False,
+                              key=None):
+    """Mesh-sharded PSIS correction: samples and log-weights are generated
+    per device, only the weight tail is gathered for the GPD fit, and the
+    corrected moments are psum-reduced (scales `improve_with_psis` to a pod
+    slice; see `viabel_tpu.parallel`)."""
+    from .parallel import (psislw_sharded, sharded_all_bounds,
+                           sharded_psis_moments)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    _, lw, samples = sharded_all_bounds(
+        log_density, var_family, var_param, n_samples, key, mesh,
+        moment_bound_fn=lambda p: var_family.pth_moment(
+            jnp.asarray(var_param), p),
+        return_log_weights=True, return_samples=True)
+    slw, khat = psislw_sharded(lw, mesh)
+    mean, cov = sharded_psis_moments(samples, slw, mesh)
+    if verbose:
+        print('khat = {:.3g}'.format(float(khat)))
+    res = check_accuracy(true_mean, true_cov, np.asarray(mean),
+                         np.asarray(cov), verbose)
+    res['khat'] = float(khat)
+    return res, np.asarray(mean), np.asarray(cov)
 
 
 # -- plotting (optional; requires matplotlib) -------------------------------

@@ -36,6 +36,7 @@ __all__ = [
     'mean_field_t_variational_family',
     'full_rank_gaussian_variational_family',
     't_variational_family',
+    'init_from_moments',
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -269,3 +270,28 @@ def t_variational_family(dim, df):
     return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
                              pth_moment, _chol_param_dim(dim), dim,
                              'full_rank_t')
+
+
+def init_from_moments(family, mean, cov):
+    """Variational parameters matching given first/second moments.
+
+    Convenience the reference lacks (its notebooks assemble init vectors by
+    hand, e.g. eight-schools.ipynb cell 16 concatenates NUTS moments).
+    For Student-t families the scale is set so the *distribution covariance*
+    matches `cov` (dividing out the df/(df-2) inflation is deliberately
+    skipped — matching the reference notebooks, which also set log-scales
+    directly from target stdevs).
+    """
+    import numpy as np
+    mean = np.asarray(mean, dtype=float)
+    cov = np.atleast_2d(np.asarray(cov, dtype=float))
+    d = family.dim
+    if mean.shape != (d,) or cov.shape != (d, d):
+        raise ValueError('moments must have shape ({},) and ({0}, {0})'
+                         .format(d))
+    if family.name in ('mf_gaussian', 'mf_t'):
+        log_scale = 0.5 * np.log(np.diag(cov))
+        return jnp.asarray(np.concatenate([mean, log_scale]))
+    L = np.linalg.cholesky(cov)
+    off = L[np.tril_indices(d, k=-1)]
+    return jnp.asarray(np.concatenate([mean, np.log(np.diag(L)), off]))

@@ -23,6 +23,12 @@ structure of these kernels).  `fused_gaussian_lw_stats` is therefore
 validated in interpreter mode and enabled on real TPU runtimes;
 `streaming_lw_stats` compiles and runs on the tunnel as well.
 """
-from .sample_score import fused_gaussian_lw_stats, streaming_lw_stats
+from .sample_score import (fused_gaussian_lw_stats,
+                           fused_location_scale_lw_stats,
+                           normal_base_logpdf_rows,
+                           streaming_lw_stats,
+                           student_t_base_logpdf_rows)
 
-__all__ = ['fused_gaussian_lw_stats', 'streaming_lw_stats']
+__all__ = ['fused_gaussian_lw_stats', 'fused_location_scale_lw_stats',
+           'normal_base_logpdf_rows', 'student_t_base_logpdf_rows',
+           'streaming_lw_stats']

@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['streaming_lw_stats', 'fused_gaussian_lw_stats']
+__all__ = ['streaming_lw_stats', 'fused_gaussian_lw_stats',
+           'fused_location_scale_lw_stats']
 
 _LOG_2PI = math.log(2.0 * math.pi)
 _NEG_BIG = -3.0e38  # effectively -inf for f32 max-padding
@@ -244,4 +245,106 @@ def fused_gaussian_lw_stats(model_fn_rows, mean, log_std, n_samples, seed,
     lw = lw_pad[0, :n_samples]
     stats = _combine_tiles(tiles.reshape(grid, 8, 128), alpha, n_samples)
     stats['n'] = n_samples
+    return lw, stats
+
+
+# ---------------------------------------------------------------------------
+# fused transform -> score -> reduce from external standard draws
+# ---------------------------------------------------------------------------
+
+def _ls_kernel(model_fn, base_lp_fn, dim, dim_pad, n, alpha,
+               z_ref, mean_ref, log_scale_ref, lw_out_ref, stats_ref):
+    step = pl.program_id(0)
+    z = z_ref[:]                # (dim_pad, TILE) standard draws
+    mean = mean_ref[:]          # (dim_pad, 1)
+    log_scale = log_scale_ref[:]
+    x = mean + jnp.exp(log_scale) * z
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (dim_pad, 1), 0)
+    sum_log_scale = jnp.sum(jnp.where(col < dim, log_scale, 0.0))
+    logq = base_lp_fn(z) - sum_log_scale          # (TILE,)
+    logp = model_fn(x)
+    lw = (logp - logq).reshape(1, _TILE_N)
+
+    base = step * _TILE_N
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (1, _TILE_N), 1)
+    valid = idx < n
+    lw_out_ref[:] = jnp.where(valid, lw, _NEG_BIG)
+    stats_ref[:] = _tile_stats_rows(lw, valid, alpha)
+
+
+def normal_base_logpdf_rows(dim):
+    """Row-layout standard-normal log density (for Gaussian families)."""
+    def fn(z):
+        row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+        t = jnp.where(row < dim, z * z + _LOG_2PI, 0.0)
+        return -0.5 * jnp.sum(t, axis=0)
+    return fn
+
+
+def student_t_base_logpdf_rows(dim, df):
+    """Row-layout standard Student-t log density (for mean-field t)."""
+    from jax.scipy.special import gammaln
+    lognorm = float(gammaln(0.5 * (df + 1.0)) - gammaln(0.5 * df)
+                    - 0.5 * np.log(df * np.pi))
+
+    def fn(z):
+        row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+        t = jnp.where(row < dim,
+                      lognorm - 0.5 * (df + 1.0) * jnp.log1p(z * z / df),
+                      0.0)
+        return jnp.sum(t, axis=0)
+    return fn
+
+
+def fused_location_scale_lw_stats(model_fn_rows, base_logpdf_rows, z,
+                                  mean, log_scale, alpha=2.0,
+                                  interpret=False):
+    """Fused transform -> score -> reduce for location-scale families.
+
+    Like `fused_gaussian_lw_stats` but consuming externally generated
+    standard draws `z` (n, dim) — e.g. `jax.random.normal` or
+    `jax.random.t` output — so it covers Student-t families and runs on
+    backends whose Pallas lowering lacks the TPU PRNG (including this
+    development environment's remote-compile tunnel and the CPU
+    interpreter).  One pass: samples are transformed, scored against the
+    model and the closed-form log q, and reduced to per-tile CUBO/ELBO
+    statistics without materializing the transformed samples.
+
+    Returns ``(log_weights (n,), stats dict as log_weight_stats)``.
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    log_scale = jnp.asarray(log_scale, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+    n, dim = z.shape
+    dim_pad = max(8, -(-dim // 8) * 8)
+    n_pad = -(-n // _TILE_N) * _TILE_N
+    grid = n_pad // _TILE_N
+
+    z_rows = jnp.zeros((dim_pad, n_pad), jnp.float32)
+    z_rows = z_rows.at[:dim, :n].set(z.T)
+    mean_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(mean)
+    ls_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(log_scale)
+
+    lw_pad, tiles = pl.pallas_call(
+        functools.partial(_ls_kernel, model_fn_rows, base_logpdf_rows,
+                          dim, dim_pad, n, float(alpha)),
+        out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((dim_pad, _TILE_N), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((dim_pad, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((dim_pad, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, _TILE_N), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(z_rows, mean_col, ls_col)
+    lw = lw_pad[0, :n]
+    stats = _combine_tiles(tiles.reshape(grid, 8, 128), alpha, n)
+    stats['n'] = n
     return lw, stats

@@ -86,7 +86,7 @@ def sharded_sample_stats(samples, mesh, axis='sample'):
 def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
                        mesh, alpha=2.0, axis='sample', log_norm_bound=None,
                        moment_bound_fn=None, q_var=None, p_var=None,
-                       return_log_weights=False):
+                       return_log_weights=False, return_samples=False):
     """Fused sharded sample->score->reduce bound estimation.
 
     Each device generates ``n_samples / n_devices`` samples from the family
@@ -104,9 +104,12 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
     n_local = n_samples // n_dev
     var_param = jnp.asarray(var_param)
 
+    out_specs = (P(), P(axis), P(axis, None)) if return_samples \
+        else (P(), P(axis))
+
     @partial(jax.jit, static_argnums=())
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
-             out_specs=(P(), P(axis)))
+             out_specs=out_specs)
     def local_estimate(vp, k):
         idx = jax.lax.axis_index(axis)
         k_local = jax.random.fold_in(k, idx)
@@ -121,9 +124,13 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
             stats['C4'] = jax.lax.psum(
                 jnp.sum(jnp.sum(c ** 4, axis=1)), axis) / nf
             stats['cov'] = jax.lax.psum(c.T @ c, axis) / (nf - 1)
+        if return_samples:
+            return stats, lw_local, samples
         return stats, lw_local
 
-    stats, lw_sharded = local_estimate(var_param, key)
+    out = local_estimate(var_param, key)
+    stats, lw_sharded = out[0], out[1]
+    samples_sharded = out[2] if return_samples else None
     stats = {k_: v for k_, v in stats.items()}
     stats['n'] = n_samples
 
@@ -145,6 +152,11 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
                                 p_var=np.inf if p_var is None else p_var))
     results['d2'] = d2
     results['log_norm_bound'] = log_norm_bound
+    extras = []
     if return_log_weights:
-        return results, lw_sharded
+        extras.append(lw_sharded)
+    if return_samples:
+        extras.append(samples_sharded)
+    if extras:
+        return (results, *extras)
     return results
