@@ -7,7 +7,14 @@ bounds, accuracy, and throughput against the reference notebook outputs
 within Monte Carlo error; SURVEY.md section 7 "seed-faithful statistical
 comparison"), not bitwise.
 
-Usage: python benchmarks/parity.py [--quick]
+The khat / bound / accuracy values being validated are statistics of the
+converged variational solutions — backend-independent.  `--cpu` forces the
+CPU backend, which is the reliable choice when the development
+environment's remote TPU compile service is congested (ARCHITECTURE.md
+"Environment quirks"); throughput numbers come from bench.py on the real
+chip either way.
+
+Usage: python benchmarks/parity.py [--quick] [--cpu]
 """
 import argparse
 import os
@@ -24,7 +31,9 @@ def fmt(x, nd=3):
     return ('{:.' + str(nd) + 'g}').format(float(x))
 
 
-def main(quick=False):
+def main(quick=False, cpu=False):
+    if cpu:
+        jax.config.update('jax_platforms', 'cpu')
     import examples.robust_regression as rr
     import examples.funnel as fu
     import examples.eight_schools as es
@@ -90,4 +99,6 @@ def main(quick=False):
 if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--quick', action='store_true')
-    main(p.parse_args().quick)
+    p.add_argument('--cpu', action='store_true')
+    a = p.parse_args()
+    main(a.quick, a.cpu)

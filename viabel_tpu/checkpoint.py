@@ -21,16 +21,28 @@ import numpy as np
 from .optimizers import (_adagrad_run, _wrap_objective, _WindowState,
                          learning_rate_schedule)
 
-__all__ = ['save_checkpoint', 'load_checkpoint', 'adagrad_optimize_resumable']
+__all__ = ['save_checkpoint', 'load_checkpoint', 'load_checkpoint_entry',
+           'adagrad_optimize_resumable']
+
+
+def _leaf_name(path_tuple, i):
+    parts = []
+    for p in path_tuple:
+        key = getattr(p, 'key', getattr(p, 'idx', getattr(p, 'name', None)))
+        parts.append(str(key))
+    return 'leaf_{}:{}'.format(i, '/'.join(parts))
 
 
 def save_checkpoint(path, tree):
-    """Atomically save a pytree of arrays/scalars to `path` (.npz)."""
-    leaves, treedef = jax.tree.flatten(tree)
-    arrays = {'leaf_{}'.format(i): np.asarray(x)
-              for i, x in enumerate(leaves)}
-    arrays['__structure__'] = np.frombuffer(
-        str(treedef).encode(), dtype=np.uint8)  # informational only
+    """Atomically save a pytree of arrays/scalars to `path` (.npz).
+
+    Leaves are stored under path-derived names (e.g. ``leaf_3:param``) so a
+    checkpoint is both reconstructible via `load_checkpoint(like=...)` and
+    human-inspectable / addressable by name (`load_checkpoint_entry`).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    arrays = {_leaf_name(kp, i): np.asarray(x)
+              for i, (kp, x) in enumerate(flat)}
     d = os.path.dirname(os.path.abspath(path)) or '.'
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix='.npz.tmp')
@@ -45,17 +57,37 @@ def save_checkpoint(path, tree):
     return path
 
 
+def _ordered_leaves(data):
+    names = sorted((k for k in data.files if k.startswith('leaf_')),
+                   key=lambda k: int(k.split(':')[0][5:]))
+    return [data[k] for k in names]
+
+
 def load_checkpoint(path, like=None):
     """Load a checkpoint.  If `like` (a pytree with the same structure) is
     given, leaves are reassembled into that structure; otherwise a flat list
     of arrays is returned."""
     with np.load(path) as data:
-        n = sum(1 for k in data.files if k.startswith('leaf_'))
-        leaves = [data['leaf_{}'.format(i)] for i in range(n)]
+        leaves = _ordered_leaves(data)
     if like is None:
         return leaves
     treedef = jax.tree.structure(like)
     return jax.tree.unflatten(treedef, leaves)
+
+
+def load_checkpoint_entry(path, name):
+    """Load a single named entry (e.g. ``'param'``) from a checkpoint."""
+    with np.load(path) as data:
+        matches = [k for k in data.files
+                   if k.startswith('leaf_') and
+                   k.split(':', 1)[1].split('/')[-1] == name]
+        if not matches:
+            raise KeyError('no checkpoint entry named {!r}; available: {}'
+                           .format(name,
+                                   sorted(k.split(':', 1)[1]
+                                          for k in data.files
+                                          if ':' in k)))
+        return data[matches[0]]
 
 
 def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,

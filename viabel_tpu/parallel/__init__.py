@@ -18,6 +18,8 @@ scaling story:
   the GPD fit runs replicated, and the smoothed tail is scattered back to
   its owners; body weights never leave their device.
 """
+from .distributed import (initialize_distributed, local_device_count,
+                          process_info)
 from .mesh import make_mesh, shard_over
 from .sharded_bounds import (sharded_all_bounds, sharded_log_weight_stats,
                              sharded_sample_stats)
@@ -29,4 +31,5 @@ __all__ = [
     'sharded_log_weight_stats', 'sharded_sample_stats', 'sharded_all_bounds',
     'shard_chain_inputs',
     'psislw_sharded', 'sharded_psis_moments',
+    'initialize_distributed', 'local_device_count', 'process_info',
 ]

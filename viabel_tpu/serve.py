@@ -163,9 +163,12 @@ def main(argv=None):
         cfg = ExperimentConfig.from_json(f.read())
     model, family, objective = build(cfg)
     if args.param:
-        with np.load(args.param) as d:
-            names = [k for k in d.files if k.startswith('leaf_')]
-            var_param = d[names[0]] if names else d[d.files[0]]
+        from .checkpoint import load_checkpoint_entry
+        try:
+            var_param = load_checkpoint_entry(args.param, 'param')
+        except KeyError:
+            with np.load(args.param) as d:
+                var_param = d[d.files[0]]
     else:
         print('no --param given; fitting {} iters...'.format(cfg.n_iters))
         var_param, _, _, _ = adagrad_optimize(
