@@ -44,6 +44,10 @@ def main(quick=False, cpu=False):
     print('== robust regression ==', flush=True)
     rr_out = rr.main(full=not quick)
     rows += [
+        ('robust-regression mf-t KLVI khat', fmt(rr_out['khat_klvi']),
+         '0.92'),
+        ('robust-regression mf-t CHIVI khat', fmt(rr_out['khat_chivi']),
+         '0.341'),
         ('robust-regression full-rank KLVI khat', fmt(rr_out['khat_full']),
          '-0.93'),
         ('robust-regression full-rank KLVI W2', fmt(rr_out['W2_full']),

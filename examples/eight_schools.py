@@ -1,10 +1,16 @@
 """Eight-schools workload (reference: notebooks/eight-schools.ipynb):
 centered and non-centered hierarchical models, KLVI vs CHIVI with bounds and
-PSIS khat.  The reference obtains ground-truth moments and inits from a long
-NUTS run of the NCP model; here the NCP ground truth is approximated by a
-long NCP KLVI + PSIS-corrected moments (khat on NCP is ~0.65, so the
-importance-corrected moments are usable), and the reference's published khat
-values are the comparison targets."""
+PSIS khat.
+
+The reference obtains ground-truth moments — and, crucially, the
+*initialization* for both models — from a long NUTS run of the NCP model
+(reference: eight-schools.ipynb cells 10-16: `init_param_cp` concatenates
+the NUTS means with half-log marginal variances).  Here the same role is
+played by a preliminary long NCP KLVI fit whose PSIS-corrected draws
+(khat ~ 0.6, so the correction is trustworthy) provide NCP- and CP-scale
+moments; both experiments then start from those moments via
+`init_from_moments`, matching the reference protocol.
+"""
 import argparse
 import sys
 
@@ -14,20 +20,57 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from viabel_tpu import mean_field_t_variational_family
+from viabel_tpu import (adagrad_optimize, black_box_klvi, init_from_moments,
+                        mean_field_t_variational_family)
 from viabel_tpu.experiments import run_experiment
 from viabel_tpu.models import (eight_schools_cp_model,
-                               eight_schools_ncp_model)
+                               eight_schools_ncp_model,
+                               eight_schools_ncp_to_cp)
+from viabel_tpu.psis import psislw
 
 
-def run(model, init, n_iters, full, key, label, ref_khats, mc_samples=None):
+def _estimate_ground_truth(n_iters, n_samples, key):
+    """NCP KLVI + PSIS-corrected moments on both parameter scales
+    (the reference's NUTS stand-in; see module docstring)."""
+    model = eight_schools_ncp_model()
+    fam = mean_field_t_variational_family(model.dim, 40)
+    init = jnp.asarray(np.concatenate([[4.0, 1.0], np.zeros(8),
+                                       np.full(10, 0.5)]), dtype=jnp.float32)
+    opt, _, _, _ = adagrad_optimize(n_iters, black_box_klvi(
+        fam, model.log_prob, 100), init, key=key, learning_rate=.01,
+        learning_rate_end=.001)
+
+    @jax.jit
+    def draw(vp, k):
+        s = fam.sample(k, vp, n_samples)
+        return s, model.log_prob(s) - fam.log_prob(vp, s)
+
+    samples, lw = draw(opt, jax.random.fold_in(key, 1))
+    slw, khat = psislw(lw)
+    w = jnp.exp(slw - jnp.max(slw))
+    w = w / jnp.sum(w)
+
+    def weighted_moments(x):
+        mean = jnp.sum(w[:, None] * x, axis=0)
+        c = x - mean
+        cov = (w[:, None] * c).T @ c
+        return np.asarray(mean), np.asarray(cov)
+
+    mean_ncp, cov_ncp = weighted_moments(samples)
+    cp_samples = jnp.asarray(eight_schools_ncp_to_cp(np.asarray(samples)))
+    mean_cp, cov_cp = weighted_moments(cp_samples)
+    return dict(mean_ncp=mean_ncp, cov_ncp=cov_ncp, mean_cp=mean_cp,
+                cov_cp=cov_cp, khat=float(khat))
+
+
+def run(model, init, true_mean, true_cov, n_iters, mc_samples, key, label,
+        ref_khats):
     fam = mean_field_t_variational_family(model.dim, 40)
     print('\n################ {} ################'.format(label))
     out = run_experiment(
-        model.log_prob, fam, init, np.zeros(model.dim), np.eye(model.dim),
+        model.log_prob, fam, init, true_mean, true_cov,
         learning_rate=.01, learning_rate_end=.001, n_iters=n_iters,
-        bound_w2=mc_samples or (2500000 if full else 100000),
-        n_psis_samples=mc_samples or (1000000 if full else 100000),
+        bound_w2=mc_samples, n_psis_samples=mc_samples,
         verbose=False, plot_contours=False, key=key)
     k_klvi = out[4]['psis_results']['khat']
     k_chivi = out[5]['psis_results']['khat']
@@ -38,24 +81,27 @@ def run(model, init, n_iters, full, key, label, ref_khats, mc_samples=None):
 
 
 def main(full=False, n_iters=None, mc_samples=None):
-    # init near the posterior bulk, mirroring the reference's moment-based
-    # init (reference: eight-schools.ipynb cell 16 inits at NUTS moments)
-    mu0, log_tau0 = 4.0, 1.2
-    theta0 = np.full(8, 4.0)
-    init_cp = jnp.asarray(np.concatenate([[mu0, log_tau0], theta0,
-                                          np.zeros(10)]), dtype=jnp.float32)
-    init_ncp = jnp.asarray(np.concatenate([[mu0, log_tau0], np.zeros(8),
-                                           np.zeros(10)]), dtype=jnp.float32)
+    mc = mc_samples or (1000000 if full else 100000)
+    truth = _estimate_ground_truth(
+        n_iters or (10000 if full else 2000), mc,
+        jax.random.PRNGKey(42))
+    print('ground-truth stage khat = {:.3f}'.format(truth['khat']))
+    print('  mu, tau moments: mean = {:.2f}, log_tau = {:.2f}'.format(
+        truth['mean_ncp'][0], truth['mean_ncp'][1]))
 
-    cp = run(eight_schools_cp_model(), init_cp,
-             n_iters or (10000 if full else 2000), full,
-             jax.random.PRNGKey(0), 'centered (CP)', (0.906, 0.875),
-             mc_samples)
-    ncp = run(eight_schools_ncp_model(), init_ncp,
-              n_iters or (5000 if full else 2000), full,
-              jax.random.PRNGKey(1), 'non-centered (NCP)', (0.649, 0.552),
-              mc_samples)
-    return dict(cp=cp, ncp=ncp)
+    fam10 = mean_field_t_variational_family(10, 40)
+    init_cp = init_from_moments(fam10, truth['mean_cp'],
+                                truth['cov_cp']).astype(jnp.float32)
+    init_ncp = init_from_moments(fam10, truth['mean_ncp'],
+                                 truth['cov_ncp']).astype(jnp.float32)
+
+    cp = run(eight_schools_cp_model(), init_cp, truth['mean_cp'],
+             truth['cov_cp'], n_iters or (10000 if full else 2000), mc,
+             jax.random.PRNGKey(0), 'centered (CP)', (0.906, 0.875))
+    ncp = run(eight_schools_ncp_model(), init_ncp, truth['mean_ncp'],
+              truth['cov_ncp'], n_iters or (5000 if full else 2000), mc,
+              jax.random.PRNGKey(1), 'non-centered (NCP)', (0.649, 0.552))
+    return dict(cp=cp, ncp=ncp, truth=truth)
 
 
 if __name__ == '__main__':

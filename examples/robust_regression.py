@@ -58,6 +58,7 @@ def main(full=False, mc_samples=None, n_iters=None):
     res, khat, elbo = bounds_and_khat(model, fam, klvi_param, mc_samples, k2)
     print_bounds(res)
     print('khat = {:.3f} (reference 0.92)'.format(khat))
+    khat_klvi = khat
 
     # --- CHIVI alpha=2, warm start (reference cells 23-30: khat 0.341) ---
     chivi = black_box_chivi(2, fam, model.log_prob, 500)
@@ -74,6 +75,7 @@ def main(full=False, mc_samples=None, n_iters=None):
                                    elbo=elbo)
     print_bounds(res)
     print('khat = {:.3f} (reference 0.341)'.format(khat))
+    khat_chivi = khat
 
     # --- full-rank t(100) KLVI (reference cells 32-38: khat -0.93,
     #     W2 = 0.385, d2 = 5.92e-4, mean_err = 0.0456) ---
@@ -93,7 +95,8 @@ def main(full=False, mc_samples=None, n_iters=None):
     print_bounds(res)
     print('khat = {:.3f} (reference -0.93)'.format(khat))
     return dict(khat_full=khat, W2_full=res['W2'], d2_full=res['d2'],
-                mean_err_full=res['mean_error'])
+                mean_err_full=res['mean_error'], khat_klvi=khat_klvi,
+                khat_chivi=khat_chivi)
 
 
 if __name__ == '__main__':

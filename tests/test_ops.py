@@ -106,12 +106,16 @@ def test_row_models_match_column_models():
         (eight_schools_ncp_model(),
          eight_schools_ncp_rows(EIGHT_SCHOOLS_Y, EIGHT_SCHOOLS_SIGMA), 10),
     ]
-    for model, row_fn, dim in cases:
+    from viabel_tpu.ops.row_models import RowModel
+    for model, row_model, dim in cases:
+        if not isinstance(row_model, RowModel):
+            row_model = RowModel(row_model, ())
         dim_pad = max(8, -(-dim // 8) * 8)
         x = rng.randn(7, dim).astype(np.float32)
         x_rows = np.zeros((dim_pad, 7), dtype=np.float32)
         x_rows[:dim, :] = x.T
-        got = np.asarray(row_fn(jnp.asarray(x_rows)))
+        args = [jnp.asarray(a) for a in row_model.args]
+        got = np.asarray(row_model.fn(jnp.asarray(x_rows), *args))
         want = np.asarray(model.log_prob(jnp.asarray(x)))
         np.testing.assert_allclose(got, want, rtol=2e-4,
                                    err_msg=model.name)

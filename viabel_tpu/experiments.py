@@ -230,6 +230,10 @@ def _optimize_and_check_results(log_density, var_family, objective_and_grad,
     if key is None:
         key = jax.random.PRNGKey(0)
     opt_key, bound_key, psis_key = jax.random.split(key, 3)
+    # has_log_norm=False matches the reference harness, which runs adagrad
+    # without the log-norm rescaling path even for CHIVI
+    # (reference: notebooks/experiments.py:144 + viabel/vb.py:345-347).
+    kwargs.setdefault('has_log_norm', False)
     opt_param, var_param_history, value_history, _ = adagrad_optimize(
         n_iters, objective_and_grad, init_var_param, key=opt_key, **kwargs)
     if plot_contours:

@@ -163,8 +163,32 @@ def _box_muller(shape):
     return r * jnp.cos(2.0 * jnp.pi * u2)
 
 
-def _fused_kernel(model_fn, dim, dim_pad, n, alpha, seed,
-                  mean_ref, log_std_ref, lw_out_ref, stats_ref):
+def _as_row_model(model_fn_rows):
+    """Normalize a plain row callable or RowModel to (fn, args)."""
+    from .row_models import RowModel
+    if isinstance(model_fn_rows, RowModel):
+        return model_fn_rows
+    return RowModel(model_fn_rows, ())
+
+
+def _model_arg_specs(args):
+    """Full-block constant-index VMEM specs for model data arrays."""
+    specs = []
+    arrays = []
+    for a in args:
+        a = jnp.asarray(a, jnp.float32)
+        if a.ndim != 2:
+            raise ValueError('model args must be 2-D arrays')
+        specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        arrays.append(a)
+    return specs, arrays
+
+
+def _fused_kernel(model_fn, n_args, dim, dim_pad, n, alpha, seed, *refs):
+    mean_ref, log_std_ref = refs[0], refs[1]
+    arg_refs = refs[2:2 + n_args]
+    lw_out_ref, stats_ref = refs[2 + n_args], refs[3 + n_args]
     step = pl.program_id(0)
     pltpu.prng_seed(seed + step)
 
@@ -181,7 +205,7 @@ def _fused_kernel(model_fn, dim, dim_pad, n, alpha, seed,
     sum_log_std = jnp.sum(jnp.where(col < dim, log_std, 0.0))
     logq = -0.5 * jnp.sum(z2, axis=0) - sum_log_std     # (TILE,)
 
-    logp = model_fn(x)                                   # (TILE,)
+    logp = model_fn(x, *[r[:] for r in arg_refs])        # (TILE,)
     lw = (logp - logq).reshape(1, _TILE_N)
 
     base = step * _TILE_N
@@ -216,6 +240,8 @@ def fused_gaussian_lw_stats(model_fn_rows, mean, log_std, n_samples, seed,
     -------
     (log_weights (n_samples,), stats dict as `log_weight_stats`)
     """
+    model = _as_row_model(model_fn_rows)
+    arg_specs, arg_arrays = _model_arg_specs(model.args)
     mean = jnp.asarray(mean, jnp.float32)
     log_std = jnp.asarray(log_std, jnp.float32)
     dim = mean.shape[0]
@@ -227,21 +253,21 @@ def fused_gaussian_lw_stats(model_fn_rows, mean, log_std, n_samples, seed,
     ls_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(log_std)
 
     lw_pad, tiles = pl.pallas_call(
-        functools.partial(_fused_kernel, model_fn_rows, dim, dim_pad,
-                          n_samples, float(alpha), seed),
+        functools.partial(_fused_kernel, model.fn, len(arg_arrays), dim,
+                          dim_pad, n_samples, float(alpha), seed),
         out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)),
         grid=(grid,),
         in_specs=[pl.BlockSpec((dim_pad, 1), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((dim_pad, 1), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM)] + arg_specs,
         out_specs=(pl.BlockSpec((1, _TILE_N), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(mean_col, ls_col)
+    )(mean_col, ls_col, *arg_arrays)
     lw = lw_pad[0, :n_samples]
     stats = _combine_tiles(tiles.reshape(grid, 8, 128), alpha, n_samples)
     stats['n'] = n_samples
@@ -252,8 +278,10 @@ def fused_gaussian_lw_stats(model_fn_rows, mean, log_std, n_samples, seed,
 # fused transform -> score -> reduce from external standard draws
 # ---------------------------------------------------------------------------
 
-def _ls_kernel(model_fn, base_lp_fn, dim, dim_pad, n, alpha,
-               z_ref, mean_ref, log_scale_ref, lw_out_ref, stats_ref):
+def _ls_kernel(model_fn, base_lp_fn, n_args, dim, dim_pad, n, alpha, *refs):
+    z_ref, mean_ref, log_scale_ref = refs[0], refs[1], refs[2]
+    arg_refs = refs[3:3 + n_args]
+    lw_out_ref, stats_ref = refs[3 + n_args], refs[4 + n_args]
     step = pl.program_id(0)
     z = z_ref[:]                # (dim_pad, TILE) standard draws
     mean = mean_ref[:]          # (dim_pad, 1)
@@ -263,7 +291,7 @@ def _ls_kernel(model_fn, base_lp_fn, dim, dim_pad, n, alpha,
     col = jax.lax.broadcasted_iota(jnp.int32, (dim_pad, 1), 0)
     sum_log_scale = jnp.sum(jnp.where(col < dim, log_scale, 0.0))
     logq = base_lp_fn(z) - sum_log_scale          # (TILE,)
-    logp = model_fn(x)
+    logp = model_fn(x, *[r[:] for r in arg_refs])
     lw = (logp - logq).reshape(1, _TILE_N)
 
     base = step * _TILE_N
@@ -313,6 +341,8 @@ def fused_location_scale_lw_stats(model_fn_rows, base_logpdf_rows, z,
 
     Returns ``(log_weights (n,), stats dict as log_weight_stats)``.
     """
+    model = _as_row_model(model_fn_rows)
+    arg_specs, arg_arrays = _model_arg_specs(model.args)
     mean = jnp.asarray(mean, jnp.float32)
     log_scale = jnp.asarray(log_scale, jnp.float32)
     z = jnp.asarray(z, jnp.float32)
@@ -327,8 +357,8 @@ def fused_location_scale_lw_stats(model_fn_rows, base_logpdf_rows, z,
     ls_col = jnp.zeros((dim_pad, 1), jnp.float32).at[:dim, 0].set(log_scale)
 
     lw_pad, tiles = pl.pallas_call(
-        functools.partial(_ls_kernel, model_fn_rows, base_logpdf_rows,
-                          dim, dim_pad, n, float(alpha)),
+        functools.partial(_ls_kernel, model.fn, base_logpdf_rows,
+                          len(arg_arrays), dim, dim_pad, n, float(alpha)),
         out_shape=(jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32)),
         grid=(grid,),
@@ -337,13 +367,13 @@ def fused_location_scale_lw_stats(model_fn_rows, base_logpdf_rows, z,
                   pl.BlockSpec((dim_pad, 1), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((dim_pad, 1), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM)] + arg_specs,
         out_specs=(pl.BlockSpec((1, _TILE_N), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(z_rows, mean_col, ls_col)
+    )(z_rows, mean_col, ls_col, *arg_arrays)
     lw = lw_pad[0, :n]
     stats = _combine_tiles(tiles.reshape(grid, 8, 128), alpha, n)
     stats['n'] = n
