@@ -36,7 +36,9 @@ def main():
     log('devices: {}'.format(jax.devices()))
     model = eight_schools_cp_model()
     fam = mean_field_t_variational_family(model.dim, 40)
-    obj = black_box_klvi(fam, model.log_prob, N_MC)
+    # presampled mode: all Student-t draw generation batched outside the
+    # scan (bit-identical trajectories, ~1.8x faster; see objectives.py)
+    obj = black_box_klvi(fam, model.log_prob, N_MC, presampled=True)
     init = jnp.asarray(
         np.concatenate([np.zeros(model.dim), np.zeros(model.dim)]),
         dtype=jnp.float32)

@@ -121,6 +121,34 @@ def test_rmsprop_ia_with_rhat_contract_and_convergence():
                                    atol=0.1)
 
 
+def test_presampled_objective_bit_identical():
+    """presampled=True runs produce bit-identical trajectories to the
+    key-threaded path (same fold_in keys feed one batched base_sample)."""
+    from viabel_tpu.models import funnel_model
+    from viabel_tpu import mean_field_t_variational_family
+    model = funnel_model()
+    fam = mean_field_t_variational_family(2, 40)
+    init = jnp.zeros(4, dtype=jnp.float64)
+    key = jax.random.PRNGKey(7)
+    obj_keyed = black_box_klvi(fam, model.log_prob, 50)
+    obj_pre = black_box_klvi(fam, model.log_prob, 50, presampled=True)
+    out_keyed = adagrad_optimize(300, obj_keyed, init, key=key)
+    out_pre = adagrad_optimize(300, obj_pre, init, key=key)
+    np.testing.assert_array_equal(np.asarray(out_keyed[0]),
+                                  np.asarray(out_pre[0]))
+    np.testing.assert_array_equal(np.asarray(out_keyed[2]),
+                                  np.asarray(out_pre[2]))
+
+    # IA optimizers too
+    out_ia_keyed = rmsprop_IA_optimize_with_rhat(
+        200, obj_keyed, init, 2, key=key, n_optimisers=2, rhat_window=50,
+        tail_avg_iters=50)
+    out_ia_pre = rmsprop_IA_optimize_with_rhat(
+        200, obj_pre, init, 2, key=key, n_optimisers=2, rhat_window=50,
+        tail_avg_iters=50)
+    np.testing.assert_array_equal(out_ia_keyed[1], out_ia_pre[1])
+
+
 def test_adam_ia_with_rhat_converges():
     model = _conjugate_problem()
     K = model.dim

@@ -59,6 +59,13 @@ class VariationalFamily(NamedTuple):
     pth_moment : (var_param, p) -> scalar bound on min_y E||x - y||^p, p in {2,4}
     var_param_dim, dim : int
     init_param : () -> zeros var-param vector
+    base_sample : (key, n_samples) -> parameter-free standard draws (pytree)
+        All randomness of `sample`, decoupled from the parameters — enables
+        batching draws for many iterations at once (pre-sampled
+        optimization; `sample(key, p, n) == transform(p, base_sample(key,
+        n))` holds exactly).
+    transform : (var_param, draws) -> (n_samples, dim)
+        Deterministic reparameterization applied to `base_sample` output.
     """
     sample: Callable
     entropy: Callable
@@ -68,6 +75,8 @@ class VariationalFamily(NamedTuple):
     var_param_dim: int
     dim: int
     name: str
+    base_sample: Callable = None
+    transform: Callable = None
 
     def logdensity(self, x, var_param):
         """Reference-argument-order alias (reference: viabel/vb.py:63)."""
@@ -84,10 +93,16 @@ def mean_field_gaussian_variational_family(dim):
     def unpack(var_param):
         return var_param[:dim], var_param[dim:]
 
-    def sample(key, var_param, n_samples):
+    def base_sample(key, n_samples, dtype=jnp.float32):
+        return jax.random.normal(key, (n_samples, dim), dtype=dtype)
+
+    def transform(var_param, z):
         mean, log_std = unpack(var_param)
-        z = jax.random.normal(key, (n_samples, dim), dtype=var_param.dtype)
         return mean + jnp.exp(log_std) * z
+
+    def sample(key, var_param, n_samples):
+        return transform(var_param,
+                         base_sample(key, n_samples, var_param.dtype))
 
     def entropy(var_param):
         _, log_std = unpack(var_param)
@@ -111,7 +126,8 @@ def mean_field_gaussian_variational_family(dim):
         return 2 * jnp.sum(variances ** 2) + jnp.sum(variances) ** 2
 
     return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
-                             pth_moment, 2 * dim, dim, 'mf_gaussian')
+                             pth_moment, 2 * dim, dim, 'mf_gaussian',
+                             base_sample, transform)
 
 
 def mean_field_t_variational_family(dim, df):
@@ -124,10 +140,16 @@ def mean_field_t_variational_family(dim, df):
     def unpack(var_param):
         return var_param[:dim], var_param[dim:]
 
-    def sample(key, var_param, n_samples):
+    def base_sample(key, n_samples, dtype=jnp.float32):
+        return jax.random.t(key, df, (n_samples, dim), dtype=dtype)
+
+    def transform(var_param, t):
         mean, log_scale = unpack(var_param)
-        t = jax.random.t(key, df, (n_samples, dim), dtype=var_param.dtype)
         return mean + jnp.exp(log_scale) * t
+
+    def sample(key, var_param, n_samples):
+        return transform(var_param,
+                         base_sample(key, n_samples, var_param.dtype))
 
     def entropy(var_param):
         _, log_scale = unpack(var_param)
@@ -155,7 +177,8 @@ def mean_field_t_variational_family(dim, df):
                          + jnp.sum(scales ** 2) ** 2)
 
     return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
-                             pth_moment, 2 * dim, dim, 'mf_t')
+                             pth_moment, 2 * dim, dim, 'mf_t',
+                             base_sample, transform)
 
 
 def _unpack_chol(var_param, dim):
@@ -187,10 +210,16 @@ def full_rank_gaussian_variational_family(dim):
     diagonal (reference: viabel/vb.py:120-124).
     """
 
-    def sample(key, var_param, n_samples):
+    def base_sample(key, n_samples, dtype=jnp.float32):
+        return jax.random.normal(key, (n_samples, dim), dtype=dtype)
+
+    def transform(var_param, z):
         mu, L = _unpack_chol(var_param, dim)
-        z = jax.random.normal(key, (n_samples, dim), dtype=var_param.dtype)
         return mu + z @ L.T
+
+    def sample(key, var_param, n_samples):
+        return transform(var_param,
+                         base_sample(key, n_samples, var_param.dtype))
 
     def entropy(var_param):
         log_diag = var_param[dim:2 * dim]
@@ -216,7 +245,7 @@ def full_rank_gaussian_variational_family(dim):
 
     return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
                              pth_moment, _chol_param_dim(dim), dim,
-                             'full_rank_gaussian')
+                             'full_rank_gaussian', base_sample, transform)
 
 
 def t_variational_family(dim, df):
@@ -233,14 +262,20 @@ def t_variational_family(dim, df):
     if df <= 2:
         raise ValueError('df must be greater than 2')
 
-    def sample(key, var_param, n_samples):
-        mu, L = _unpack_chol(var_param, dim)
+    def base_sample(key, n_samples, dtype=jnp.float32):
         key_z, key_s = jax.random.split(key)
-        z = jax.random.normal(key_z, (n_samples, dim), dtype=var_param.dtype)
-        chi2 = jax.random.chisquare(key_s, df, (n_samples,),
-                                    dtype=var_param.dtype)
-        s = jnp.sqrt(chi2 / df)
-        return mu + (z @ L.T) / s[:, None]
+        return dict(
+            z=jax.random.normal(key_z, (n_samples, dim), dtype=dtype),
+            chi2=jax.random.chisquare(key_s, df, (n_samples,), dtype=dtype))
+
+    def transform(var_param, draws):
+        mu, L = _unpack_chol(var_param, dim)
+        s = jnp.sqrt(draws['chi2'] / df)
+        return mu + (draws['z'] @ L.T) / s[:, None]
+
+    def sample(key, var_param, n_samples):
+        return transform(var_param,
+                         base_sample(key, n_samples, var_param.dtype))
 
     def entropy(var_param):
         log_diag = var_param[dim:2 * dim]
@@ -269,7 +304,7 @@ def t_variational_family(dim, df):
 
     return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
                              pth_moment, _chol_param_dim(dim), dim,
-                             'full_rank_t')
+                             'full_rank_t', base_sample, transform)
 
 
 def init_from_moments(family, mean, cov):

@@ -47,16 +47,47 @@ def vectorize_log_density(log_density):
     return wrapped
 
 
-def black_box_klvi(var_family, log_density, n_samples):
+def _attach_presampling(fn, var_family, n_samples):
+    """Mark `fn` as consuming pre-generated standard draws and give it a
+    batched draw generator.
+
+    `make_draws(key, n_iters)` produces one iteration's worth of
+    `base_sample` output per scan step, using exactly the per-iteration
+    ``fold_in(key, i)`` keys the optimizers use — so a pre-sampled run is
+    bit-identical to the key-threaded run, while the (rejection-sampled)
+    draw generation is batched into one call instead of one per scan step.
+    """
+    fn.presampled = True
+
+    def make_draws(key, n_iters, dtype=jnp.float32):
+        def one(i):
+            return var_family.base_sample(jax.random.fold_in(key, i),
+                                          n_samples, dtype)
+        return jax.vmap(one)(jnp.arange(n_iters))
+
+    fn.make_draws = make_draws
+    return fn
+
+
+def black_box_klvi(var_family, log_density, n_samples, presampled=False):
     """KLVI objective: ``-ELBO`` with closed-form entropy
     (reference: viabel/vb.py:236-245).
 
     `log_density` must map a batch of samples ``(n, d)`` to log densities
     ``(n,)`` (use `vectorize_log_density` for per-point densities).
+
+    With ``presampled=True`` the returned objective consumes pre-generated
+    standard draws instead of a PRNG key (see `_attach_presampling`) —
+    optimizers then hoist all draw generation out of the scan, which
+    removes the per-iteration rejection-sampler loops (Student-t / gamma)
+    from the compiled step and substantially raises iterations/s.
     """
 
-    def objective(var_param, key):
-        samples = var_family.sample(key, var_param, n_samples)
+    def objective(var_param, rng_or_draws):
+        if presampled:
+            samples = var_family.transform(var_param, rng_or_draws)
+        else:
+            samples = var_family.sample(rng_or_draws, var_param, n_samples)
         lower_bound = (var_family.entropy(var_param)
                        + jnp.mean(log_density(samples)))
         return -lower_bound
@@ -64,6 +95,8 @@ def black_box_klvi(var_family, log_density, n_samples):
     objective_and_grad = jax.value_and_grad(objective)
     objective_and_grad.has_log_norm = False
     objective_and_grad.objective = objective
+    if presampled:
+        _attach_presampling(objective_and_grad, var_family, n_samples)
     return objective_and_grad
 
 
@@ -109,7 +142,8 @@ def black_box_klvi_pd2(var_family, log_density, n_samples):
     return objective_and_grad
 
 
-def black_box_chivi(alpha, var_family, log_density, n_samples):
+def black_box_chivi(alpha, var_family, log_density, n_samples,
+                    presampled=False):
     """CHIVI (chi^2 / alpha-divergence) objective via the exponentiated CUBO.
 
     Returns ``(cubo_estimate, grad, log_norm)`` where `log_norm` is the
@@ -117,11 +151,15 @@ def black_box_chivi(alpha, var_family, log_density, n_samples):
     gradient rescaling (reference: viabel/vb.py:248-266, 371).  The gradient
     is ``alpha * J^T w_alpha / n`` with ``w_alpha = exp(lw - max lw)^alpha``
     held constant, exactly the reference's `vector_jacobian_product`
-    construction (reference: viabel/vb.py:255, 263).
+    construction (reference: viabel/vb.py:255, 263).  ``presampled=True``
+    as in `black_box_klvi`.
     """
 
-    def compute_log_weights(var_param, key):
-        samples = var_family.sample(key, var_param, n_samples)
+    def compute_log_weights(var_param, rng_or_draws):
+        if presampled:
+            samples = var_family.transform(var_param, rng_or_draws)
+        else:
+            samples = var_family.sample(rng_or_draws, var_param, n_samples)
         return log_density(samples) - var_family.log_prob(var_param, samples)
 
     def objective_grad_and_log_norm(var_param, key):
@@ -136,6 +174,9 @@ def black_box_chivi(alpha, var_family, log_density, n_samples):
 
     objective_grad_and_log_norm.has_log_norm = True
     objective_grad_and_log_norm.compute_log_weights = compute_log_weights
+    if presampled:
+        _attach_presampling(objective_grad_and_log_norm, var_family,
+                            n_samples)
     return objective_grad_and_log_norm
 
 

@@ -62,13 +62,20 @@ def learning_rate_schedule(i, n_iters, learning_rate, learning_rate_end=None):
                      jnp.where(i < end_decrease_at, mid, learning_rate_end))
 
 
+def _copy_obj_attrs(src, dst):
+    for attr in ('presampled', 'make_draws'):
+        if hasattr(src, attr):
+            setattr(dst, attr, getattr(src, attr))
+    return dst
+
+
 @lru_cache(maxsize=256)
 def _pad_objective(objective_and_grad):
     def wrapped(var_param, key):
         out = objective_and_grad(var_param, key)
         value, grad = out[0], out[1]
         return value, grad, jnp.zeros_like(value)
-    return wrapped
+    return _copy_obj_attrs(objective_and_grad, wrapped)
 
 
 @lru_cache(maxsize=256)
@@ -76,7 +83,7 @@ def _truncate_objective(objective_and_grad):
     def wrapped(var_param, key):
         out = objective_and_grad(var_param, key)
         return out[0], out[1], out[2]
-    return wrapped
+    return _copy_obj_attrs(objective_and_grad, wrapped)
 
 
 def _wrap_objective(objective_and_grad, has_log_norm):
@@ -139,11 +146,12 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
     params/keys hit the jit cache."""
     dtype = init_param.dtype
     P = init_param.shape[0]
+    presampled = getattr(obj, 'presampled', False)
 
-    def step(carry, i):
+    def step(carry, xs):
+        i, rng_or_draws = xs
         param, wstate = carry
-        it_key = jax.random.fold_in(key, i)
-        value, grad, log_norm = obj(param, it_key)
+        value, grad, log_norm = obj(param, rng_or_draws)
         wstate, accum_sum = _window_accum(wstate, i, grad, log_norm, window)
         lr = learning_rate_schedule(i, n_iters, learning_rate,
                                     learning_rate_end).astype(dtype)
@@ -158,10 +166,16 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
                 lambda: None)
         return (param, wstate), (value, log_norm, param)
 
+    iters = jnp.arange(n_iters)
+    if presampled:
+        # all randomness generated in one batched call, outside the scan
+        xs = (iters, obj.make_draws(key, n_iters, dtype))
+    else:
+        xs = (iters, jax.vmap(lambda i: jax.random.fold_in(key, i))(iters))
     wstate = _WindowState(jnp.zeros((window, P), dtype),
                           jnp.zeros((window,), dtype))
     (_, _), (values, log_norms, params) = jax.lax.scan(
-        step, (init_param, wstate), jnp.arange(n_iters))
+        step, (init_param, wstate), xs)
     return values, log_norms, params
 
 
@@ -216,15 +230,16 @@ def _chains_run(obj, kind, n_iters, learning_rate, epsilon,
     records pre-update parameters (reference: viabel/vb.py:466, 628).
     """
     alpha, beta1, beta2 = 0.9, 0.9, 0.999
+    presampled = getattr(obj, 'presampled', False)
 
     def one_chain(init_param, chain_key):
         dtype = init_param.dtype
         P = init_param.shape[0]
 
-        def step(carry, i):
+        def step(carry, xs):
+            i, rng_or_draws = xs
             param, v, m = carry
-            it_key = jax.random.fold_in(chain_key, i)
-            value, grad, log_norm = obj(param, it_key)
+            value, grad, log_norm = obj(param, rng_or_draws)
             lr = learning_rate_schedule(i, n_iters, learning_rate,
                                         learning_rate_end).astype(dtype)
             if kind == 'rmsprop':
@@ -242,8 +257,14 @@ def _chains_run(obj, kind, n_iters, learning_rate, epsilon,
                 new_param = param - lr * m_hat / jnp.sqrt(epsilon + v_hat)
             return (new_param, v, m), (value, log_norm, param)
 
+        iters = jnp.arange(n_iters)
+        if presampled:
+            xs = (iters, obj.make_draws(chain_key, n_iters, dtype))
+        else:
+            xs = (iters, jax.vmap(
+                lambda i: jax.random.fold_in(chain_key, i))(iters))
         carry0 = (init_param, jnp.zeros((P,), dtype), jnp.zeros((P,), dtype))
-        _, ys = jax.lax.scan(step, carry0, jnp.arange(n_iters))
+        _, ys = jax.lax.scan(step, carry0, xs)
         return ys
 
     return jax.vmap(one_chain)(inits, keys)
