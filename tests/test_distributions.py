@@ -1,0 +1,98 @@
+"""Distribution-primitive tests against scipy, including the eigh-based
+multivariate-t parity path (reference: viabel/_distributions.py:8-38)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats as sps
+
+from viabel_tpu.distributions import (diag_normal_logpdf,
+                                      diag_student_t_logpdf,
+                                      multivariate_t_logpdf, mvn_logpdf_chol,
+                                      mvt_logpdf_chol, normal_logpdf,
+                                      student_t_logpdf)
+
+
+def test_normal_logpdf():
+    x = np.linspace(-3, 3, 11)
+    np.testing.assert_allclose(
+        np.asarray(normal_logpdf(jnp.asarray(x), 0.5, 2.0)),
+        sps.norm(0.5, 2.0).logpdf(x), rtol=1e-12)
+
+
+def test_student_t_logpdf():
+    x = np.linspace(-4, 4, 9)
+    np.testing.assert_allclose(
+        np.asarray(student_t_logpdf(jnp.asarray(x), 7.0, -0.5, 1.5)),
+        sps.t(7.0, loc=-0.5, scale=1.5).logpdf(x), rtol=1e-10)
+
+
+def test_diag_densities():
+    rng = np.random.RandomState(0)
+    x = rng.randn(6, 3)
+    mean = np.array([0.1, -0.2, 0.3])
+    log_s = np.array([0.0, 0.5, -0.5])
+    np.testing.assert_allclose(
+        np.asarray(diag_normal_logpdf(jnp.asarray(x), jnp.asarray(mean),
+                                      jnp.asarray(log_s))),
+        sps.multivariate_normal(mean, np.diag(np.exp(2 * log_s))).logpdf(x),
+        rtol=1e-10)
+    expected_t = sum(sps.t(9.0, loc=mean[d],
+                           scale=np.exp(log_s[d])).logpdf(x[:, d])
+                     for d in range(3))
+    np.testing.assert_allclose(
+        np.asarray(diag_student_t_logpdf(jnp.asarray(x), 9.0,
+                                         jnp.asarray(mean),
+                                         jnp.asarray(log_s))),
+        expected_t, rtol=1e-10)
+
+
+def _spd(dim, seed):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(dim, dim)
+    return A @ A.T + dim * np.eye(dim)
+
+
+def test_chol_densities():
+    dim = 4
+    S = _spd(dim, 1)
+    L = np.linalg.cholesky(S)
+    mean = np.arange(dim, dtype=float)
+    x = np.random.RandomState(2).randn(7, dim)
+    np.testing.assert_allclose(
+        np.asarray(mvn_logpdf_chol(jnp.asarray(x), jnp.asarray(mean),
+                                   jnp.asarray(L))),
+        sps.multivariate_normal(mean, S).logpdf(x), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(mvt_logpdf_chol(jnp.asarray(x), jnp.asarray(mean),
+                                   jnp.asarray(L), 11.0)),
+        sps.multivariate_t(mean, S, df=11.0).logpdf(x), rtol=1e-10)
+
+
+def test_multivariate_t_logpdf_parity_path():
+    """The eigh/pseudo-inverse entry point matches scipy on full-rank S and
+    falls back to the normal when df is infinite (the reference uses
+    t_variational_family(k, df=1e6) as a Gaussian that way)."""
+    dim = 3
+    S = _spd(dim, 3)
+    mean = np.array([1.0, -1.0, 0.5])
+    x = np.random.RandomState(4).randn(5, dim)
+    np.testing.assert_allclose(
+        np.asarray(multivariate_t_logpdf(jnp.asarray(x), jnp.asarray(mean),
+                                         jnp.asarray(S), 6.0)),
+        sps.multivariate_t(mean, S, df=6.0).logpdf(x), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(multivariate_t_logpdf(jnp.asarray(x), jnp.asarray(mean),
+                                         jnp.asarray(S), jnp.inf)),
+        sps.multivariate_normal(mean, S).logpdf(x), rtol=1e-8)
+
+
+def test_multivariate_t_logpdf_rank_deficient():
+    """Rank-deficient scale matrices are tolerated via the pseudo-inverse
+    (reference behavior; viabel/_distributions.py:29-31)."""
+    S = np.diag([1.0, 2.0, 0.0])
+    mean = np.zeros(3)
+    x = np.array([[0.5, -0.5, 0.0]])
+    out = np.asarray(multivariate_t_logpdf(jnp.asarray(x),
+                                           jnp.asarray(mean),
+                                           jnp.asarray(S), 8.0))
+    assert np.isfinite(out).all()

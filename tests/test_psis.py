@@ -88,6 +88,20 @@ def test_psislw_khat_recovery_on_pareto_tail():
     assert 0.3 < float(khat) < 0.7
 
 
+def test_psislw_reff_matches_reference():
+    """Reff changes the tail size ceil(min(0.2n, 3 sqrt(n/Reff)));
+    oracle values from the reference implementation on the same draw."""
+    lw = 1.5 * jax.random.normal(jax.random.PRNGKey(5), (8000,),
+                                 dtype=jnp.float64)
+    expected = {1.0: (0.3699929953, -9.58152421),
+                0.5: (0.4579705594, -9.58406726),
+                0.1: (0.5590226430, -9.59167073)}
+    for reff, (exp_k, exp_head) in expected.items():
+        smoothed, khat = psislw(lw, Reff=reff)
+        np.testing.assert_allclose(float(khat), exp_k, rtol=1e-8)
+        np.testing.assert_allclose(float(smoothed[0]), exp_head, rtol=1e-8)
+
+
 def test_psislw_short_tail_returns_inf():
     """Too few tail samples => khat = inf, no smoothing
     (reference: notebooks/psis.py:177-180)."""
