@@ -99,9 +99,13 @@ def _cmd_run(args):
 
 
 def _cmd_bench(args):
+    import os
     import runpy
-    sys.argv = ['bench.py']
-    runpy.run_path('bench.py', run_name='__main__')
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'bench.py')
+    sys.argv = [bench_path]
+    runpy.run_path(bench_path, run_name='__main__')
 
 
 def _cmd_configs(args):

@@ -3,13 +3,11 @@
 TPU-native rebuild of the reference diagnostics module
 (reference: viabel/functions.py:8-77, 139-150).  These operate on small
 (n_chains, n_iters, P) iterate histories produced by the scan-based
-optimizers; they accept numpy or JAX arrays and return numpy arrays, since
-they run once per optimization as a host-side post-pass.  The heavy per-window
-R-hat computation is expressed as batched array ops (vmap over windows)
-rather than Python loops where shapes allow.
+optimizers and run once per optimization as a host-side post-pass — they
+are deliberately pure numpy: the arrays are tiny (megabytes), and issuing
+dozens of small device ops (the windowed/halfway R-hat loops) through a
+remote-device dispatch path costs far more than the arithmetic.
 """
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
@@ -25,24 +23,25 @@ _JITTER = 1e-8
 
 
 def _split_rhat(chains):
-    """Split-half potential scale reduction over (n_chains, n_iters, K).
+    """Split-half potential scale reduction over (..., n_chains, n_iters, K).
 
     Each chain is split into two half-chains; between-/within-chain variance
     decomposition gives ``R = sqrt((n-1)/n + B/(nW))``
-    (reference: viabel/functions.py:8-31).
+    (reference: viabel/functions.py:8-31).  Batches over leading axes.
     """
-    n_chains, n_iters, K = chains.shape
+    *lead, n_chains, n_iters, K = chains.shape
     n_half = n_iters // 2
-    psi = chains[:, :2 * n_half, :].reshape(n_chains * 2, n_half, K)
-    psi_dot_j = jnp.mean(psi, axis=1)                       # (2c, K)
-    psi_dot_dot = jnp.mean(psi_dot_j, axis=0)               # (K,)
-    s_j_2 = (jnp.sum((psi - psi_dot_j[:, None, :]) ** 2, axis=1)
+    psi = chains[..., :2 * n_half, :].reshape(*lead, n_chains * 2, n_half, K)
+    psi_dot_j = psi.mean(axis=-2)                           # (..., 2c, K)
+    psi_dot_dot = psi_dot_j.mean(axis=-2, keepdims=True)    # (..., 1, K)
+    s_j_2 = (((psi - psi_dot_j[..., :, None, :]) ** 2).sum(axis=-2)
              / (n_half - 1))
-    B = (n_half * jnp.sum((psi_dot_j - psi_dot_dot) ** 2, axis=0)
+    B = (n_half * ((psi_dot_j - psi_dot_dot) ** 2).sum(axis=-2)
          / (n_chains * 2 - 1))
-    W = jnp.nanmean(s_j_2, axis=0) + _JITTER
+    with np.errstate(invalid='ignore'):
+        W = np.nanmean(s_j_2, axis=-2) + _JITTER
     var_hat = (n_half - 1) / n_half + B / (n_half * W)
-    return var_hat, jnp.sqrt(var_hat)
+    return var_hat, np.sqrt(var_hat)
 
 
 def compute_R_hat(chains, warmup=500):
@@ -53,9 +52,8 @@ def compute_R_hat(chains, warmup=500):
     reference drops two due to an off-by-one; reference:
     viabel/functions.py:15-17).  Returns ``(var_hat, R_hat)``, each (K,).
     """
-    chains = jnp.asarray(chains)[:, warmup:, :]
-    var_hat, r_hat = _split_rhat(chains)
-    return np.asarray(var_hat), np.asarray(r_hat)
+    chains = np.asarray(chains)[:, warmup:, :]
+    return _split_rhat(chains)
 
 
 def compute_R_hat_adaptive(chains, window_size=100):
@@ -63,15 +61,15 @@ def compute_R_hat_adaptive(chains, window_size=100):
 
     Returns array (n_windows, K) (reference: viabel/functions.py:44-52).
     """
-    chains = jnp.asarray(chains)
+    chains = np.asarray(chains)
     n_chains, n_iters, K = chains.shape
     n_windows = n_iters // window_size
     if n_windows == 0:
         return np.zeros((0, K))
     windows = chains[:, :n_windows * window_size, :].reshape(
         n_chains, n_windows, window_size, K).transpose(1, 0, 2, 3)
-    _, r_hats = jax.vmap(_split_rhat)(windows)
-    return np.asarray(r_hats)
+    _, r_hats = _split_rhat(windows)
+    return r_hats
 
 
 # Reference-name alias (reference: viabel/functions.py:44).

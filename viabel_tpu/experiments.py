@@ -275,17 +275,23 @@ def _optimize_and_check_results(log_density, var_family, objective_and_grad,
 
 def run_experiment(log_density, var_family, init_param, true_mean, true_cov,
                    kl_n_samples=100, chivi_n_samples=500, alpha=2,
-                   plot_contours=None, key=None, **kwargs):
+                   plot_contours=None, key=None, presampled=True, **kwargs):
     """Run KLVI then CHIVI on a target, reusing KLVI's ELBO as CHIVI's
     log-normalizer bound (reference: notebooks/experiments.py:183-210).
 
     Contour plots are produced for 2-D targets only when matplotlib is
     importable (pass ``plot_contours=False`` to disable explicitly).
+    Objectives default to pre-sampled mode (bit-identical trajectories,
+    substantially faster scans; draws for all iterations are held in device
+    memory — pass ``presampled=False`` for very large
+    ``n_iters * n_samples * dim``).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    klvi = black_box_klvi(var_family, log_density, kl_n_samples)
-    chivi = black_box_chivi(alpha, var_family, log_density, chivi_n_samples)
+    klvi = black_box_klvi(var_family, log_density, kl_n_samples,
+                          presampled=presampled)
+    chivi = black_box_chivi(alpha, var_family, log_density, chivi_n_samples,
+                            presampled=presampled)
     true_mean = np.asarray(true_mean)
     if plot_contours is None:
         try:

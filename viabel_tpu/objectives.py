@@ -100,13 +100,21 @@ def black_box_klvi(var_family, log_density, n_samples, presampled=False):
     return objective_and_grad
 
 
-def black_box_klvi_pd(var_family, log_density, n_samples):
+def _sample_or_transform(var_family, n_samples, presampled, var_param,
+                         rng_or_draws):
+    if presampled:
+        return var_family.transform(var_param, rng_or_draws)
+    return var_family.sample(rng_or_draws, var_param, n_samples)
+
+
+def black_box_klvi_pd(var_family, log_density, n_samples, presampled=False):
     """KLVI with a Monte Carlo entropy term (path-derivative form 1):
     ``-(E[log p] - E[log q])`` with gradients through everything
     (reference: viabel/vb.py:270-280)."""
 
-    def objective(var_param, key):
-        samples = var_family.sample(key, var_param, n_samples)
+    def objective(var_param, rng_or_draws):
+        samples = _sample_or_transform(var_family, n_samples, presampled,
+                                       var_param, rng_or_draws)
         lower_bound = (jnp.mean(log_density(samples))
                        - jnp.mean(var_family.log_prob(var_param, samples)))
         return -lower_bound
@@ -114,10 +122,13 @@ def black_box_klvi_pd(var_family, log_density, n_samples):
     objective_and_grad = jax.value_and_grad(objective)
     objective_and_grad.has_log_norm = False
     objective_and_grad.objective = objective
+    if presampled:
+        _attach_presampling(objective_and_grad, var_family, n_samples)
     return objective_and_grad
 
 
-def black_box_klvi_pd2(var_family, log_density, n_samples):
+def black_box_klvi_pd2(var_family, log_density, n_samples,
+                       presampled=False):
     """KLVI path-derivative ("sticking the landing") estimator.
 
     The reference's pd2 partially applies `var_param` into `logdensity`
@@ -129,8 +140,9 @@ def black_box_klvi_pd2(var_family, log_density, n_samples):
     yields the lower-variance estimator the reference was aiming for.
     """
 
-    def objective(var_param, key):
-        samples = var_family.sample(key, var_param, n_samples)
+    def objective(var_param, rng_or_draws):
+        samples = _sample_or_transform(var_family, n_samples, presampled,
+                                       var_param, rng_or_draws)
         frozen = jax.lax.stop_gradient(var_param)
         lower_bound = (jnp.mean(log_density(samples))
                        - jnp.mean(var_family.log_prob(frozen, samples)))
@@ -139,6 +151,8 @@ def black_box_klvi_pd2(var_family, log_density, n_samples):
     objective_and_grad = jax.value_and_grad(objective)
     objective_and_grad.has_log_norm = False
     objective_and_grad.objective = objective
+    if presampled:
+        _attach_presampling(objective_and_grad, var_family, n_samples)
     return objective_and_grad
 
 
@@ -180,7 +194,8 @@ def black_box_chivi(alpha, var_family, log_density, n_samples,
     return objective_grad_and_log_norm
 
 
-def black_box_chivi_neff(alpha, var_family, log_density, n_samples):
+def black_box_chivi_neff(alpha, var_family, log_density, n_samples,
+                         presampled=False):
     """CHIVI with an effective-sample-size-aware gradient.
 
     Reconstruction of `black_box_chivi_neff`, which the reference notebooks
@@ -193,8 +208,9 @@ def black_box_chivi_neff(alpha, var_family, log_density, n_samples):
     dominated by a few samples.  Also reports `n_eff` via a fourth output.
     """
 
-    def compute_log_weights(var_param, key):
-        samples = var_family.sample(key, var_param, n_samples)
+    def compute_log_weights(var_param, rng_or_draws):
+        samples = _sample_or_transform(var_family, n_samples, presampled,
+                                       var_param, rng_or_draws)
         return log_density(samples) - var_family.log_prob(var_param, samples)
 
     def objective_grad_and_log_norm(var_param, key):
@@ -211,6 +227,9 @@ def black_box_chivi_neff(alpha, var_family, log_density, n_samples):
 
     objective_grad_and_log_norm.has_log_norm = True
     objective_grad_and_log_norm.compute_log_weights = compute_log_weights
+    if presampled:
+        _attach_presampling(objective_grad_and_log_norm, var_family,
+                            n_samples)
     return objective_grad_and_log_norm
 
 
