@@ -32,6 +32,9 @@ from .optimizers import (adagrad_optimize, adam_IA_optimize,
 from .diagnostics import (compute_posterior_moments, compute_R_hat,
                           compute_R_hat_adaptive, compute_R_hat_halfway,
                           stochastic_iterate_averaging)
+from .transforms import (ParameterTransforms, identity_transform,
+                         interval_transform, lower_bounded_transform,
+                         positive_transform)
 
 __version__ = '0.1.0'
 
@@ -58,4 +61,7 @@ __all__ = [
     'stochastic_iterate_averaging', 'compute_posterior_moments',
     # distributions (viabel/_distributions.py)
     'multivariate_t_logpdf',
+    # constrained-parameter transforms (the Stan unconstraining layer)
+    'ParameterTransforms', 'identity_transform', 'positive_transform',
+    'lower_bounded_transform', 'interval_transform',
 ]
