@@ -9,6 +9,8 @@ under a timer, and PSIS correction — with the Monte Carlo passes fused/jitted
 requires matplotlib (reference plots: experiments.py:94-135); everything
 else is dependency-free.
 """
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -87,13 +89,10 @@ def check_approx_accuracy(var_family, var_param, true_mean, true_cov,
                           np.asarray(cov), verbose, name)
 
 
-def get_samples_and_log_weights(log_density, var_family, var_param,
-                                n_samples, key=None):
-    """Draw samples and log-weights in one fused jitted pass
-    (reference: notebooks/experiments.py:60-63)."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    var_param = jnp.asarray(var_param)
+@lru_cache(maxsize=256)
+def _draw_fn(log_density, var_family, n_samples):
+    """Cached compiled sample+score pass, keyed on (density, family, n) so
+    repeated bound/PSIS estimation calls reuse the executable."""
 
     @jax.jit
     def draw(vp, k):
@@ -101,7 +100,22 @@ def get_samples_and_log_weights(log_density, var_family, var_param,
         lw = log_density(samples) - var_family.log_prob(vp, samples)
         return samples, lw
 
-    return draw(var_param, key)
+    return draw
+
+
+def get_samples_and_log_weights(log_density, var_family, var_param,
+                                n_samples, key=None):
+    """Draw samples and log-weights in one fused jitted pass
+    (reference: notebooks/experiments.py:60-63)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    try:
+        draw = _draw_fn(log_density, var_family, n_samples)
+    except TypeError:  # unhashable density (e.g. a Model with array fields)
+        draw = _draw_fn(log_density.log_prob, var_family, n_samples) \
+            if hasattr(log_density, 'log_prob') else \
+            _draw_fn.__wrapped__(log_density, var_family, n_samples)
+    return draw(jnp.asarray(var_param), key)
 
 
 def psis_correction(log_density, var_family, var_param, n_samples, key=None):
