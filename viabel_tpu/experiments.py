@@ -183,8 +183,15 @@ def improve_with_psis_sharded(log_density, var_family, var_param, n_samples,
 
 def plot_approx_and_exact_contours(log_density, var_family, var_param,
                                    xlim=(-10, 10), ylim=(-3, 3),
-                                   cmap2='Reds', savepath=None):
-    """(reference: notebooks/experiments.py:94-112)"""
+                                   cmap2='Reds', savepath=None,
+                                   aux_var=None):
+    """(reference: notebooks/experiments.py:94-112).  `aux_var` is accepted
+    for compatibility with the chivi notebooks, which pass it although the
+    reference harness has no such parameter (SURVEY.md section 2.3); when
+    given, it is appended to the variational parameter vector."""
+    if aux_var is not None:
+        var_param = jnp.concatenate([jnp.asarray(var_param),
+                                     jnp.atleast_1d(jnp.asarray(aux_var))])
     import matplotlib.pyplot as plt
     xlist = np.linspace(*xlim, 100)
     ylist = np.linspace(*ylim, 100)
