@@ -51,6 +51,28 @@ def test_cli_run_smoke(capsys):
     assert 'khat' in out
 
 
+def test_cli_run_ia_optimizer(capsys):
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'linear_regression', '--family',
+          'mean_field_gaussian', '--optimizer', 'rmsprop_ia',
+          '--n-chains', '2', '--n-iters', '300', '--n-mc', '20',
+          '--bound-samples', '5000', '--quiet'])
+    out = capsys.readouterr().out
+    assert 'iterate-averaging start' in out
+    assert 'mean error' in out  # ground truth known for linear_regression
+
+
+def test_cli_run_with_checkpoint(tmp_path, capsys):
+    from viabel_tpu.__main__ import main
+    path = str(tmp_path / 'cli_ckpt.npz')
+    main(['run', '--model', 'funnel', '--n-iters', '200', '--n-mc', '10',
+          '--bound-samples', '2000', '--checkpoint-path', path, '--quiet'])
+    import os
+    assert os.path.exists(path)
+    from viabel_tpu.checkpoint import load_checkpoint_entry
+    assert load_checkpoint_entry(path, 'param').shape == (4,)
+
+
 def test_cli_configs(capsys):
     from viabel_tpu.__main__ import main
     main(['configs'])

@@ -287,9 +287,10 @@ def _ia_postprocess(n_iters, K, chains, values, log_norms, rhat_window,
     rhat_sigma_halfway = rhats_halfway[:, K:]
 
     # First window index where two consecutive windows have all dims below
-    # threshold sets the start of averaging (reference: viabel/vb.py:495-512).
+    # threshold sets the start of averaging (reference: viabel/vb.py:495-512;
+    # clamped at 0 — the reference crashes when tail_avg_iters > n_iters).
     def find_start(windows, threshold):
-        start = n_iters - tail_avg_iters
+        start = max(n_iters - tail_avg_iters, 0)
         for ee in range(windows.shape[0] - 1):
             if (windows[ee] < threshold).all() and \
                (windows[ee + 1] < threshold).all():
