@@ -26,8 +26,7 @@ def _cmd_run(args):
     import jax.numpy as jnp
     from .config import ExperimentConfig, build
     from .experiments import (check_approx_accuracy,
-                              get_samples_and_log_weights, improve_with_psis,
-                              print_bounds)
+                              get_samples_and_log_weights, print_bounds)
     from .bounds import all_bounds
     from .optimizers import (adagrad_optimize, adam_IA_optimize_with_rhat,
                              rmsprop_IA_optimize_with_rhat)

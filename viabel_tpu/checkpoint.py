@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .optimizers import (_adagrad_run, _wrap_objective, _WindowState,
+from .optimizers import (_wrap_objective, _WindowState,
                          learning_rate_schedule)
 
 __all__ = ['save_checkpoint', 'load_checkpoint', 'load_checkpoint_entry',

@@ -14,7 +14,6 @@ is a host call, so use this only for genuinely external models; prefer
 writing the density in JAX.
 """
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ['make_callback_log_density']
