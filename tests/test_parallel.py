@@ -99,6 +99,20 @@ def test_sharded_psislw_matches_unsharded(mesh):
                                np.asarray(smoothed_local), rtol=1e-8)
 
 
+def test_sharded_psislw_single_device_mesh():
+    """A 1-device mesh must behave like the unsharded path (the gathered
+    candidate pool must still contain the cutoff element)."""
+    mesh1 = make_mesh(axis_names=('sample',), shape=(1,),
+                      devices=jax.devices()[:1])
+    lw = 1.5 * jax.random.normal(jax.random.PRNGKey(9), (8000,),
+                                 dtype=jnp.float64)
+    s_local, k_local = psislw(lw)
+    s_sh, k_sh = psislw_sharded(shard_over(lw, mesh1, 'sample'), mesh1)
+    np.testing.assert_allclose(float(k_sh), float(k_local), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_local),
+                               rtol=1e-8)
+
+
 def test_sharded_psislw_no_smoothing_branch(mesh):
     lw = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (8000,),
                                  dtype=jnp.float64)

@@ -53,8 +53,11 @@ def psislw_sharded(log_weights, mesh, Reff=1.0, axis='sample'):
         gmax = jax.lax.pmax(jnp.max(lw_local), axis)
         x = lw_local - gmax
 
-        # (1)-(2): local top-k, gather only the candidates
-        local_top, _ = jax.lax.top_k(x, min(tail_len, x.shape[0]))
+        # (1)-(2): local top-k, gather only the candidates.  Each device
+        # contributes its top tail_len+1 so the gathered pool provably
+        # contains the global top tail_len+1 (tail plus cutoff element),
+        # including on a single-device mesh.
+        local_top, _ = jax.lax.top_k(x, min(tail_len + 1, x.shape[0]))
         cands = jax.lax.all_gather(local_top, axis).reshape(-1)
         # (3): replicated global tail (descending) and cutoff
         g_top, _ = jax.lax.top_k(cands, tail_len + 1)
