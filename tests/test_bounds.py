@@ -63,6 +63,13 @@ def test_divergence_bound_rejects_bad_alpha():
         divergence_bound(np.zeros(10), alpha=1.0)
 
 
+def test_all_bounds_rejects_non_2_alpha():
+    """The Wasserstein/moment bounds are only valid for the 2-divergence
+    (the reference hard-codes alpha=2 in all_bounds)."""
+    with pytest.raises(ValueError):
+        all_bounds(np.zeros(100), np.zeros(100), alpha=3)
+
+
 def test_wasserstein_bounds():
     d2 = 5.0
     stdev = 3.5

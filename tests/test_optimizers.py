@@ -149,6 +149,56 @@ def test_presampled_objective_bit_identical():
     np.testing.assert_array_equal(out_ia_keyed[1], out_ia_pre[1])
 
 
+def test_ia_short_run_does_not_crash():
+    """n_iters below the halfway-R-hat interval (100) and below
+    tail_avg_iters must not crash (review findings: empty halfway array,
+    negative averaging start)."""
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    out = rmsprop_IA_optimize_with_rhat(
+        50, obj, init, model.dim, key=jax.random.PRNGKey(5),
+        n_optimisers=2, rhat_window=25, tail_avg_iters=2000)
+    assert out[1].shape == (2, 50, fam.var_param_dim)
+    assert out[6]['r_hat_mean_halfway'].shape[0] == 0
+
+
+def test_ia_returns_post_update_param():
+    """The first tuple element is the post-final-update parameter
+    (reference: viabel/vb.py:547), not the stale pre-update history tail."""
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    out = rmsprop_IA_optimize_with_rhat(
+        100, obj, init, model.dim, key=jax.random.PRNGKey(6),
+        n_optimisers=1, rhat_window=50, tail_avg_iters=50)
+    final_param, chains = out[0], out[1]
+    assert not np.allclose(final_param, chains[-1, -1])  # one step newer
+
+
+def test_resumable_supports_presampled(tmp_path):
+    """adagrad_optimize_resumable honors presampled objectives and matches
+    the non-resumable presampled run exactly (review finding: it previously
+    fed PRNG keys to transform, yielding NaNs)."""
+    from viabel_tpu.checkpoint import adagrad_optimize_resumable
+    from viabel_tpu.models import funnel_model
+    from viabel_tpu import mean_field_t_variational_family
+    model = funnel_model()
+    fam = mean_field_t_variational_family(2, 40)
+    obj = black_box_klvi(fam, model.log_prob, 30, presampled=True)
+    init = jnp.zeros(4, dtype=jnp.float64)
+    key = jax.random.PRNGKey(8)
+    direct = adagrad_optimize(300, obj, init, key=key)
+    resumable = adagrad_optimize_resumable(
+        300, obj, init, checkpoint_path=str(tmp_path / 'p.npz'), key=key,
+        save_every=100)
+    np.testing.assert_allclose(np.asarray(resumable[0]),
+                               np.asarray(direct[0]), rtol=1e-10)
+    assert np.all(np.isfinite(np.asarray(resumable[0])))
+
+
 def test_adam_ia_with_rhat_converges():
     model = _conjugate_problem()
     K = model.dim

@@ -220,7 +220,16 @@ def all_bounds(log_weights, samples=None, moment_bound_fn=None,
     TPU note: when `samples` is given, the covariance (used for `q_var` if
     absent; reference: viabel/bounds.py:55-56) and the centered moments are
     produced by one fused device pass; the log-weight statistics by another.
+
+    `alpha` must be 2: the Wasserstein formula ``2 C_2p^(1/2p)
+    expm1(d)^(1/2p)`` and the downstream moment-error bounds are only valid
+    for the 2-divergence (the reference hard-codes alpha=2 here for the
+    same reason; use `divergence_bound` directly for other orders).
     """
+    if alpha != 2:
+        raise ValueError('all_bounds requires alpha == 2 (the Wasserstein '
+                         'and moment-error bounds are 2-divergence bounds); '
+                         'use divergence_bound for other orders')
     lw = jnp.asarray(log_weights)
     stats = _lw_stats_dispatch(lw, alpha)
     moments = None

@@ -132,19 +132,26 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
     wstate = _WindowState(jnp.asarray(state['grads']),
                           jnp.asarray(state['log_norms']))
 
+    presampled = getattr(obj, 'presampled', False)
+
     def segment(param, wstate, i0, length):
-        def step(carry, i):
+        def step(carry, xs):
+            i, rng_or_draws = xs
             p, w = carry
-            it_key = jax.random.fold_in(key, i)
-            value, grad, log_norm = obj(p, it_key)
+            value, grad, log_norm = obj(p, rng_or_draws)
             from .optimizers import _window_accum
             w, accum = _window_accum(w, i, grad, log_norm, window)
             lr = learning_rate_schedule(i, n_iters, learning_rate,
                                         learning_rate_end).astype(dtype)
             p = p - lr * grad / jnp.sqrt(epsilon + accum)
             return (p, w), (value, log_norm, p)
-        (param, wstate), ys = jax.lax.scan(
-            step, (param, wstate), jnp.arange(length) + i0)
+        iters = jnp.arange(length) + i0
+        if presampled:
+            xs = (iters, obj.make_draws_range(key, i0, length, dtype))
+        else:
+            xs = (iters,
+                  jax.vmap(lambda i: jax.random.fold_in(key, i))(iters))
+        (param, wstate), ys = jax.lax.scan(step, (param, wstate), xs)
         return param, wstate, ys
 
     segment = jax.jit(segment, static_argnames=('length',))

@@ -87,6 +87,8 @@ def compute_R_hat_halfway(chains, interval=100, start=1000):
     chains = np.asarray(chains)
     n_chains, n_iters, K = chains.shape
     n_subchains = n_iters // interval
+    if n_subchains == 0:
+        return np.zeros((0, K))
     r_hats = []
     for i in range(n_subchains):
         end = min(start + (i + 1) * interval, n_iters)

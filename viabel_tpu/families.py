@@ -322,7 +322,7 @@ def init_from_moments(family, mean, cov):
     cov = np.atleast_2d(np.asarray(cov, dtype=float))
     d = family.dim
     if mean.shape != (d,) or cov.shape != (d, d):
-        raise ValueError('moments must have shape ({},) and ({0}, {0})'
+        raise ValueError('moments must have shape ({0},) and ({0}, {0})'
                          .format(d))
     if family.name in ('mf_gaussian', 'mf_t'):
         log_scale = 0.5 * np.log(np.diag(cov))

@@ -59,13 +59,17 @@ def _attach_presampling(fn, var_family, n_samples):
     """
     fn.presampled = True
 
-    def make_draws(key, n_iters, dtype=jnp.float32):
+    def make_draws_range(key, start, length, dtype=jnp.float32):
         def one(i):
             return var_family.base_sample(jax.random.fold_in(key, i),
                                           n_samples, dtype)
-        return jax.vmap(one)(jnp.arange(n_iters))
+        return jax.vmap(one)(jnp.arange(length) + start)
+
+    def make_draws(key, n_iters, dtype=jnp.float32):
+        return make_draws_range(key, 0, n_iters, dtype)
 
     fn.make_draws = make_draws
+    fn.make_draws_range = make_draws_range
     return fn
 
 

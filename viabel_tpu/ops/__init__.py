@@ -19,10 +19,14 @@ Both fall back transparently to the XLA path on non-TPU backends.
 Environment note: the axon remote-compile tunnel used in this development
 environment deadlocks when lowering `pltpu.prng_seed`/`prng_random_bits`
 (and any kernel with loop-carried scratch state — hence the map+combine
-structure of these kernels).  `fused_gaussian_lw_stats` is therefore
-validated in interpreter mode and enabled on real TPU runtimes;
-`streaming_lw_stats` and `fused_location_scale_lw_stats` compile and run
-on the tunnel as well.
+structure of these kernels), and this JAX version's CPU interpreter does
+not implement the PRNG primitives either.  `fused_gaussian_lw_stats` is
+therefore UNVALIDATED at runtime in this environment — its
+transform/score/reduce structure is shared with (and tested through)
+`fused_location_scale_lw_stats`, but its in-kernel PRNG path must be
+exercised on a TPU runtime whose toolchain lowers the PRNG primitives
+before production use.  `streaming_lw_stats` and
+`fused_location_scale_lw_stats` compile and run on the tunnel.
 
 Measured on the tunneled v5e chip (1e6 x dim-10 eight-schools pass):
 XLA fused transform+score 32 ms vs `fused_location_scale_lw_stats` 698 ms —

@@ -150,8 +150,13 @@ _TILE_N = 2048          # MC samples per grid step (lanes-major)
 
 
 def _uniform_from_bits(shape):
-    """U(0,1) floats in (2^-24, 1] from the TPU PRNG (24 mantissa bits)."""
-    bits = pltpu.prng_random_bits(shape)
+    """U(0,1) floats in (2^-24, 1] from the TPU PRNG (24 mantissa bits).
+
+    The raw bits are int32; bitcast to uint32 before shifting so the shift
+    is logical — an arithmetic shift on negative bits would yield u > 1 and
+    NaN normals downstream.
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
     return 1.0 - u  # (0, 1], safe for log
 

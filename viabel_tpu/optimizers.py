@@ -63,7 +63,7 @@ def learning_rate_schedule(i, n_iters, learning_rate, learning_rate_end=None):
 
 
 def _copy_obj_attrs(src, dst):
-    for attr in ('presampled', 'make_draws'):
+    for attr in ('presampled', 'make_draws', 'make_draws_range'):
         if hasattr(src, attr):
             setattr(dst, attr, getattr(src, attr))
     return dst
@@ -264,8 +264,8 @@ def _chains_run(obj, kind, n_iters, learning_rate, epsilon,
             xs = (iters, jax.vmap(
                 lambda i: jax.random.fold_in(chain_key, i))(iters))
         carry0 = (init_param, jnp.zeros((P,), dtype), jnp.zeros((P,), dtype))
-        _, ys = jax.lax.scan(step, carry0, xs)
-        return ys
+        final_carry, ys = jax.lax.scan(step, carry0, xs)
+        return ys, final_carry[0]
 
     return jax.vmap(one_chain)(inits, keys)
 
@@ -356,16 +356,17 @@ def rmsprop_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
         from .parallel.sharded_chains import shard_chain_inputs
         inits, chain_keys = shard_chain_inputs(inits, chain_keys, mesh)
 
-    values, log_norms, chains = _chains_run(
+    (values, log_norms, chains), final_params = _chains_run(
         obj, 'rmsprop', n_iters, learning_rate, epsilon, learning_rate_end,
         inits, chain_keys)
-    final_params = np.asarray(chains)[:, -1, :]  # pre-update at last iter
     (avg_means, avg_sigmas, value_history, log_norm_history,
      optimisation_log) = _ia_postprocess(
         n_iters, K, chains, values, log_norms, rhat_window,
         r_mean_threshold, r_sigma_threshold, tail_avg_iters)
-    return (final_params[-1], np.asarray(chains), avg_means, avg_sigmas,
-            value_history, log_norm_history, optimisation_log)
+    # post-final-update parameter of the last chain, matching the reference
+    # return (reference: viabel/vb.py:547)
+    return (np.asarray(final_params)[-1], np.asarray(chains), avg_means,
+            avg_sigmas, value_history, log_norm_history, optimisation_log)
 
 
 def adam_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
@@ -396,33 +397,15 @@ def adam_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
         from .parallel.sharded_chains import shard_chain_inputs
         inits, chain_keys = shard_chain_inputs(inits, chain_keys, mesh)
 
-    values, log_norms, chains = _chains_run(
+    (values, log_norms, chains), final_params = _chains_run(
         obj, 'adam', n_iters, learning_rate, epsilon, learning_rate_end,
         inits, chain_keys)
-    final_params = np.asarray(chains)[:, -1, :]
     (avg_means, avg_sigmas, value_history, log_norm_history,
      optimisation_log) = _ia_postprocess(
         n_iters, K, chains, values, log_norms, rhat_window,
         r_mean_threshold, r_sigma_threshold, tail_avg_iters)
-    return (final_params[-1], np.asarray(chains), avg_means, avg_sigmas,
-            value_history, log_norm_history, optimisation_log)
-
-
-def _tail_average_results(n_iters, K, chains, values, log_norms,
-                          tail_avg_iters):
-    """Plain tail-window iterate averaging (no R-hat gating)."""
-    chains = np.asarray(chains)
-    start = max(n_iters - tail_avg_iters, 0)
-    avg_means, avg_sigmas = [], []
-    for o in range(chains.shape[0]):
-        means_iters, _ = stochastic_iterate_averaging(chains[o, :, :K], start)
-        sigmas_iters, _ = stochastic_iterate_averaging(chains[o, :, K:], start)
-        avg_means.append(means_iters)
-        avg_sigmas.append(sigmas_iters)
-    log = dict(start_avg_mean_iters=start, start_avg_sigma_iters=start)
-    return (chains[-1, -1, :], chains, avg_means, avg_sigmas,
-            np.asarray(values).reshape(-1), np.asarray(log_norms).reshape(-1),
-            log)
+    return (np.asarray(final_params)[-1], np.asarray(chains), avg_means,
+            avg_sigmas, value_history, log_norm_history, optimisation_log)
 
 
 def rmsprop_IA_optimize(n_iters, objective_and_grad, init_param, K, *,

@@ -100,7 +100,8 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
     """
     n_dev = mesh.shape[axis]
     if n_samples % n_dev:
-        raise ValueError('n_samples must divide the mesh axis size')
+        raise ValueError('the mesh axis size ({}) must divide n_samples '
+                         '({})'.format(n_dev, n_samples))
     n_local = n_samples // n_dev
     var_param = jnp.asarray(var_param)
 
