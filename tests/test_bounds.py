@@ -17,7 +17,9 @@ from viabel_tpu import (all_bounds, divergence_bound, error_bounds,
                         wasserstein_bounds)
 from viabel_tpu.distributions import normal_logpdf
 
-MC_SAMPLES = 2000000
+# reference-strength statistical power: 1e7 samples, tol 5/sqrt(n) ~ 1.58e-3
+# (reference: tests/test_bounds.py:7-8); generation stays in jax.random
+MC_SAMPLES = 10000000
 MC_TOL = 5 / np.sqrt(MC_SAMPLES)
 
 

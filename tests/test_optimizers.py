@@ -211,3 +211,116 @@ def test_adam_ia_with_rhat_converges():
         n_optimisers=2, rhat_window=200, tail_avg_iters=400)
     np.testing.assert_allclose(avg_means[0][-1], model.true_mean, atol=0.1)
     np.testing.assert_allclose(avg_means[1][-1], model.true_mean, atol=0.1)
+
+
+def test_ia_history_cap():
+    """window caps the retained history at 100*window iterates per chain
+    (reference: viabel/vb.py:476-477, 629-630); the retained block is the
+    chronological tail of the uncapped history."""
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    kw = dict(key=jax.random.PRNGKey(9), n_optimisers=2, rhat_window=50,
+              tail_avg_iters=50)
+    full = rmsprop_IA_optimize_with_rhat(300, obj, init, model.dim,
+                                         window=None, **kw)
+    capped = rmsprop_IA_optimize_with_rhat(300, obj, init, model.dim,
+                                           window=2, **kw)
+    assert full[1].shape == (2, 300, fam.var_param_dim)
+    assert capped[1].shape == (2, 200, fam.var_param_dim)
+    np.testing.assert_array_equal(capped[1], full[1][:, 100:])
+    # value/log-norm histories stay full-length (reference keeps them full)
+    assert capped[4].shape == (2 * 300,)
+
+
+def test_ia_online_tail_average():
+    """averaging=True maintains a running mean of post-update parameters
+    over iterations > n_iters // 1.3 inside the compiled scan and returns
+    it via optimisation_log (reference: viabel/vb.py:624-627 computes this
+    but drops it; the recursion bug there is fixed — see PARITY.md)."""
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    n_iters = 260
+    out = adam_IA_optimize_with_rhat(
+        n_iters, obj, init, model.dim, key=jax.random.PRNGKey(10),
+        n_optimisers=1, rhat_window=50, tail_avg_iters=50, averaging=True)
+    final_param, chains, log = out[0], out[1], out[6]
+    avg = log['averaged_variational_param']
+    assert avg.shape == (1, fam.var_param_dim)
+    # expected: mean of post-update params over i in (n_iters//1.3, n_iters)
+    avg_start = int(n_iters // 1.3)
+    posts = np.concatenate([chains[0, 1:], final_param[None]], axis=0)
+    expected = posts[avg_start + 1:].mean(axis=0)
+    np.testing.assert_allclose(avg[0], expected, rtol=1e-10)
+
+    out_off = adam_IA_optimize_with_rhat(
+        n_iters, obj, init, model.dim, key=jax.random.PRNGKey(10),
+        n_optimisers=1, rhat_window=50, tail_avg_iters=50, averaging=False)
+    assert 'averaged_variational_param' not in out_off[6]
+
+
+def test_ia_segmented_matches_single_scan(tmp_path):
+    """checkpoint_path/progress runs execute in compiled segments that are
+    bit-identical to the single-scan path."""
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    kw = dict(key=jax.random.PRNGKey(11), n_optimisers=2, rhat_window=50,
+              tail_avg_iters=50)
+    fast = rmsprop_IA_optimize_with_rhat(250, obj, init, model.dim, **kw)
+    seg = rmsprop_IA_optimize_with_rhat(
+        250, obj, init, model.dim, checkpoint_path=str(tmp_path / 'c.npz'),
+        save_every=100, **kw)
+    np.testing.assert_array_equal(fast[0], seg[0])
+    np.testing.assert_array_equal(fast[1], seg[1])
+    np.testing.assert_array_equal(fast[4], seg[4])
+    np.testing.assert_array_equal(
+        fast[6]['averaged_variational_param'],
+        seg[6]['averaged_variational_param'])
+
+
+def test_ia_interrupt_partial_results_and_resume(tmp_path, monkeypatch):
+    """KeyboardInterrupt mid-run returns partial histories (reference:
+    viabel/vb.py:476-481, 638-643) and a later identical call resumes from
+    the checkpoint and reproduces the uninterrupted run exactly."""
+    import viabel_tpu.optimizers as optimizers_mod
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    kw = dict(key=jax.random.PRNGKey(12), n_optimisers=2, rhat_window=50,
+              tail_avg_iters=50)
+    ckpt = str(tmp_path / 'resume.npz')
+    fast = adam_IA_optimize_with_rhat(300, obj, init, model.dim, **kw)
+
+    real_segment = optimizers_mod._chains_segment
+    calls = {'n': 0}
+
+    def interrupting(*args, **kwargs):
+        if calls['n'] >= 2:
+            raise KeyboardInterrupt
+        calls['n'] += 1
+        return real_segment(*args, **kwargs)
+
+    monkeypatch.setattr(optimizers_mod, '_chains_segment', interrupting)
+    partial = adam_IA_optimize_with_rhat(
+        300, obj, init, model.dim, checkpoint_path=ckpt, save_every=100,
+        **kw)
+    monkeypatch.setattr(optimizers_mod, '_chains_segment', real_segment)
+
+    # partial results cover the 200 completed iterations and match
+    assert partial[1].shape == (2, 200, fam.var_param_dim)
+    np.testing.assert_array_equal(partial[1], fast[1][:, :200])
+    assert partial[4].shape == (2 * 200,)
+
+    # resuming completes the run and reproduces the uninterrupted output
+    resumed = adam_IA_optimize_with_rhat(
+        300, obj, init, model.dim, checkpoint_path=ckpt, save_every=100,
+        **kw)
+    np.testing.assert_array_equal(resumed[0], fast[0])
+    np.testing.assert_array_equal(resumed[1], fast[1])
+    np.testing.assert_array_equal(resumed[4], fast[4])

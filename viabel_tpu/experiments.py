@@ -36,48 +36,69 @@ __all__ = [
 ]
 
 
+def _print_table(title, rows):
+    """Aligned label/value report used by all console output in this
+    module.  `rows` is a sequence of ``(label, scalar)`` pairs."""
+    print(title)
+    width = max((len(label) for label, _ in rows), default=0)
+    for label, value in rows:
+        print('    {label:<{w}}  {value:.3g}'.format(label=label,
+                                                     value=float(value),
+                                                     w=width))
+
+
 def print_bounds(results):
-    """(reference: notebooks/experiments.py:14-21)"""
-    print('Bounds on...')
-    print('  2-Wasserstein   {:.3g}'.format(results['W2']))
-    print('  2-divergence    {:.3g}'.format(results['d2']))
-    print('  mean error      {:.3g}'.format(results['mean_error']))
-    print('  stdev error     {:.3g}'.format(results['std_error']))
-    print('  sqrt cov error  {:.3g}'.format(np.sqrt(results['cov_error'])))
-    print('  cov error       {:.3g}'.format(results['cov_error']))
+    """Report the validated posterior-error bounds from an `all_bounds`
+    result dict (semantic counterpart of reference:
+    notebooks/experiments.py:14-21; the report layout is this project's
+    own).  Only the bound entries present in `results` are shown."""
+    rows = []
+    for key, label in (('W2', '2-Wasserstein'), ('W1', '1-Wasserstein'),
+                       ('d2', '2-divergence'), ('mean_error', 'mean error'),
+                       ('std_error', 'stdev error')):
+        if results.get(key) is not None:
+            rows.append((label, results[key]))
+    if results.get('cov_error') is not None:
+        rows.append(('cov error', results['cov_error']))
+        rows.append(('cov error (sqrt)', np.sqrt(results['cov_error'])))
+    _print_table('Upper bounds on the approximation error:', rows)
 
 
 def check_accuracy(true_mean, true_cov, approx_mean, approx_cov,
                    verbose=False, method=None):
-    """Norm-based moment-error metrics vs ground truth
-    (reference: notebooks/experiments.py:26-48)."""
-    true_mean = np.asarray(true_mean)
-    true_cov = np.asarray(true_cov)
-    approx_mean = np.asarray(approx_mean)
-    approx_cov = np.asarray(approx_cov)
+    """Norm-based moment-error metrics vs ground truth.
+
+    Computes the same statistics as the reference's accuracy check
+    (reference: notebooks/experiments.py:26-48) — vector-2-norm mean and
+    stdev errors, spectral- and nuclear-norm covariance errors with the
+    corresponding norms of the true covariance for scale, and a relative
+    stdev error — under the same result keys, so downstream consumers are
+    interchangeable.
+    """
+    true_mean, approx_mean, true_cov, approx_cov = map(
+        np.asarray, (true_mean, approx_mean, true_cov, approx_cov))
     true_std = np.sqrt(np.diag(true_cov))
     approx_std = np.sqrt(np.diag(approx_cov))
-    results = dict(
-        mean_error=np.linalg.norm(true_mean - approx_mean),
-        cov_error_2=np.linalg.norm(true_cov - approx_cov, ord=2),
-        cov_norm_2=np.linalg.norm(true_cov, ord=2),
-        cov_error_nuc=np.linalg.norm(true_cov - approx_cov, ord='nuc'),
-        cov_norm_nuc=np.linalg.norm(true_cov, ord='nuc'),
-        std_error=np.linalg.norm(true_std - approx_std),
-        rel_std_error=np.linalg.norm(approx_std / true_std - 1),
-    )
-    if method is not None:
-        results['method'] = method
+
+    results = {} if method is None else {'method': method}
+    results['mean_error'] = np.linalg.norm(true_mean - approx_mean)
+    results['std_error'] = np.linalg.norm(true_std - approx_std)
+    results['rel_std_error'] = np.linalg.norm(approx_std / true_std - 1)
+    for suffix, order in (('2', 2), ('nuc', 'nuc')):
+        results['cov_error_' + suffix] = np.linalg.norm(
+            true_cov - approx_cov, ord=order)
+        results['cov_norm_' + suffix] = np.linalg.norm(true_cov, ord=order)
+
     if verbose:
-        print('mean   =', approx_mean)
-        print('stdevs =', approx_std)
+        print('approx mean   =', approx_mean)
+        print('approx stdevs =', approx_std)
         print()
-        print('mean error             = {:.3g}'.format(results['mean_error']))
-        print('stdev error            = {:.3g}'.format(results['std_error']))
-        print('||cov error||_2^{{1/2}}  = {:.3g}'.format(
-            np.sqrt(results['cov_error_2'])))
-        print('||true cov||_2^{{1/2}}   = {:.3g}'.format(
-            np.sqrt(results['cov_norm_2'])))
+        _print_table('Moment errors vs ground truth:', [
+            ('mean error', results['mean_error']),
+            ('stdev error', results['std_error']),
+            ('sqrt spectral cov error', np.sqrt(results['cov_error_2'])),
+            ('sqrt spectral true-cov norm', np.sqrt(results['cov_norm_2'])),
+        ])
     return results
 
 
@@ -211,35 +232,47 @@ def plot_approx_and_exact_contours(log_density, var_family, var_param,
 
 
 def plot_history(history, B=None, ylabel=None):
-    """(reference: notebooks/experiments.py:115-127)"""
+    """Plot a moving average of an optimization trace, log-scaled when the
+    smoothed trace is positive throughout (semantic counterpart of
+    reference: notebooks/experiments.py:115-127).  `B` is the averaging
+    window; default one-tenth of the trace, at most 500."""
     import matplotlib.pyplot as plt
-    history = np.asarray(history)
-    if B is None:
-        B = min(500, history.size // 10)
-    window = np.ones(B) / B
-    smoothed_history = np.convolve(history, window, 'valid')
-    plt.plot(smoothed_history)
-    yscale = 'log' if np.all(smoothed_history > 0) else 'linear'
-    plt.yscale(yscale)
+    history = np.asarray(history, dtype=float)
+    B = max(1, min(500, history.size // 10) if B is None else B)
+    # windowed mean via a cumulative-sum difference (O(n), no convolution)
+    csum = np.concatenate([[0.0], np.cumsum(history)])
+    smoothed = (csum[B:] - csum[:-B]) / B
+    _, ax = plt.subplots()
+    ax.plot(smoothed)
+    if np.all(smoothed > 0):
+        ax.set_yscale('log')
+    ax.set_xlabel('iteration')
     if ylabel is not None:
-        plt.ylabel(ylabel)
-    plt.xlabel('iteration')
+        ax.set_ylabel(ylabel)
     plt.show()
 
 
 def plot_dist_to_opt_param(var_param_history, opt_param):
-    """(reference: notebooks/experiments.py:130-136)"""
+    """Plot per-iteration Euclidean distance of the parameter trajectory to
+    the final optimum (semantic counterpart of reference:
+    notebooks/experiments.py:130-136)."""
     import matplotlib.pyplot as plt
-    d = np.linalg.norm(np.asarray(var_param_history)
-                       - np.asarray(opt_param)[np.newaxis, :], axis=1)
-    plt.plot(d)
-    plt.title('iteration vs distance to optimal parameter')
-    plt.xlabel('iteration')
-    plt.ylabel('distance')
+    gap = np.asarray(var_param_history) - np.asarray(opt_param)
+    _, ax = plt.subplots()
+    ax.plot(np.sqrt(np.sum(gap * gap, axis=1)))
+    ax.set_title('convergence toward the final parameter')
+    ax.set_xlabel('iteration')
+    ax.set_ylabel('distance to optimum')
     plt.show()
 
 
 # -- the experiment driver --------------------------------------------------
+
+def _stage_banner(name):
+    """Section header for the experiment console log."""
+    print()
+    print('======== {} ========'.format(name), flush=True)
+
 
 def _optimize_and_check_results(log_density, var_family, objective_and_grad,
                                 init_var_param, true_mean, true_cov,
@@ -267,8 +300,8 @@ def _optimize_and_check_results(log_density, var_family, objective_and_grad,
     if bound_w2 not in [False, None]:
         n_samples = 1000000 if bound_w2 is True else int(bound_w2)
         print()
-        with Timer('Computing CUBO and ELBO with {} samples'.format(n_samples),
-                   sync=lambda: ()):
+        with Timer('bound estimation (CUBO + ELBO, {:,} MC samples)'.format(
+                n_samples), sync=lambda: ()):
             _, log_weights = get_samples_and_log_weights(
                 log_density, var_family, opt_param, n_samples, bound_key)
             var_dist_cov = np.asarray(var_family.mean_and_cov(opt_param)[1])
@@ -285,9 +318,7 @@ def _optimize_and_check_results(log_density, var_family, objective_and_grad,
         plot_approx_and_exact_contours(log_density, var_family, opt_param,
                                        **(contour_kws or {}))
     if use_psis:
-        print()
-        print('Results with PSIS correction')
-        print('----------------------------')
+        _stage_banner('PSIS-corrected moments')
         other_results['psis_results'], _, _ = improve_with_psis(
             log_density, var_family, opt_param, n_psis_samples,
             true_mean, true_cov, verbose=verbose, key=psis_key)
@@ -325,17 +356,12 @@ def run_experiment(log_density, var_family, init_param, true_mean, true_cov,
                                        **kwargs.get('contour_kws', {}))
 
     kl_key, chivi_key = jax.random.split(key)
-    print('|--------------|')
-    print('|     KLVI     |')
-    print('|--------------|', flush=True)
+    _stage_banner('KLVI')
     kl_results, other_kl_results = _optimize_and_check_results(
         log_density, var_family, klvi, init_param,
         true_mean, true_cov, plot_contours, '-ELBO', key=kl_key, **kwargs)
     kl_results['method'] = 'KLVI'
-    print()
-    print('|---------------|')
-    print('|     CHIVI     |')
-    print('|---------------|', flush=True)
+    _stage_banner('CHIVI')
     elbo = other_kl_results.get('log_norm_bound')
     chivi_results, other_chivi_results = _optimize_and_check_results(
         log_density, var_family, chivi, init_param, true_mean, true_cov,

@@ -17,6 +17,7 @@ All optimizers accept `objective_and_grad(var_param, key)` returning
 (or use an objective carrying the ``has_log_norm`` attribute, e.g.
 `black_box_chivi`) for the 3-output form.
 """
+import os
 from functools import lru_cache, partial
 from typing import NamedTuple
 
@@ -216,69 +217,258 @@ def _perturbed_inits(init_param, n_optimisers, scale, key):
     return init_param[None, :] + noise * mult[:, None]
 
 
+def _make_chain_step(obj, kind, n_iters, learning_rate, epsilon,
+                     learning_rate_end, avg_start, dtype):
+    """Per-iteration update shared by the whole-run and segmented chain
+    runners.  `kind` selects the rule: 'rmsprop' (EMA of squared grads,
+    alpha=0.9; reference: viabel/vb.py:446-464) or 'adam' (bias-corrected
+    moments with power i+2; reference: viabel/vb.py:611-623).
+
+    Carry is ``(param, v, m, avg)``; `avg` is a running mean of the
+    post-update parameters over iterations ``i > avg_start`` (the online
+    tail average the reference maintains when ``averaging=True``;
+    reference: viabel/vb.py:624-627 — the reference's recursion erroneously
+    averages only the last two iterates, see PARITY.md; implemented here as
+    the running mean it was intended to be).  With ``avg_start=None`` the
+    avg slot is carried through untouched.
+
+    The emitted history entry is the *pre-update* parameter
+    (reference: viabel/vb.py:466, 628).
+    """
+    alpha, beta1, beta2 = 0.9, 0.9, 0.999
+
+    def step(carry, xs):
+        i, rng_or_draws = xs
+        param, v, m, avg = carry
+        value, grad, log_norm = obj(param, rng_or_draws)
+        lr = learning_rate_schedule(i, n_iters, learning_rate,
+                                    learning_rate_end).astype(dtype)
+        if kind == 'rmsprop':
+            v = jnp.where(i == 0, grad ** 2,
+                          v * alpha + (1. - alpha) * grad ** 2)
+            new_param = param - lr * grad / jnp.sqrt(epsilon + v)
+        else:  # adam
+            v = jnp.where(i == 0, 0.9 * grad ** 2,
+                          v * beta2 + (1. - beta2) * grad ** 2)
+            m = jnp.where(i == 0, 0.9 * grad,
+                          m * beta1 + (1. - beta1) * grad)
+            fi = (i + 2).astype(dtype)
+            m_hat = m / (1 - beta1 ** fi)
+            v_hat = v / (1 - beta2 ** fi)
+            new_param = param - lr * m_hat / jnp.sqrt(epsilon + v_hat)
+        if avg_start is not None:
+            count = jnp.maximum(i - avg_start, 1).astype(dtype)
+            avg = jnp.where(i > avg_start,
+                            avg + (new_param - avg) / count,
+                            new_param)
+        return (new_param, v, m, avg), (value, log_norm, param)
+
+    return step
+
+
+def _chain_xs(obj, chain_key, i0, length, dtype):
+    """Per-iteration scan inputs for iterations [i0, i0 + length)."""
+    iters = jnp.arange(length) + i0
+    if getattr(obj, 'presampled', False):
+        return (iters, obj.make_draws_range(chain_key, i0, length, dtype))
+    return (iters,
+            jax.vmap(lambda i: jax.random.fold_in(chain_key, i))(iters))
+
+
 @partial(jax.jit, static_argnames=('obj', 'kind', 'n_iters', 'learning_rate',
-                                   'epsilon', 'learning_rate_end'))
+                                   'epsilon', 'learning_rate_end', 'hist_cap',
+                                   'avg_start'))
 def _chains_run(obj, kind, n_iters, learning_rate, epsilon,
-                learning_rate_end, inits, keys):
+                learning_rate_end, inits, keys, hist_cap=None,
+                avg_start=None):
     """vmapped per-chain lax.scan, compiled once per (objective, config).
 
     TPU-native replacement for the reference's sequential
     ``for o in range(n_optimisers)`` loop (reference: viabel/vb.py:417, 582).
-    `kind` selects the update rule: 'rmsprop' (EMA of squared grads,
-    alpha=0.9; reference: viabel/vb.py:446-464) or 'adam' (bias-corrected
-    moments with power i+2; reference: viabel/vb.py:611-623).  The history
-    records pre-update parameters (reference: viabel/vb.py:466, 628).
+
+    `hist_cap` bounds the retained parameter history: when it is smaller
+    than `n_iters`, the scan carries a ``(hist_cap, P)`` ring buffer instead
+    of emitting a full ``(n_iters, P)`` history, matching the reference's
+    ``100 * window`` history cap (reference: viabel/vb.py:476-477, 629-630)
+    and keeping device memory bounded for long runs.  Returns
+    ``((values, log_norms, chains), final_params, avg_params)`` where
+    `chains` holds the last ``min(n_iters, hist_cap)`` pre-update parameters
+    in chronological order.
     """
-    alpha, beta1, beta2 = 0.9, 0.9, 0.999
-    presampled = getattr(obj, 'presampled', False)
+    use_ring = hist_cap is not None and hist_cap < n_iters
+    presampled = getattr(obj, 'presampled', False)  # noqa: F841 (doc aid)
 
     def one_chain(init_param, chain_key):
         dtype = init_param.dtype
         P = init_param.shape[0]
+        step = _make_chain_step(obj, kind, n_iters, learning_rate, epsilon,
+                                learning_rate_end, avg_start, dtype)
 
-        def step(carry, xs):
-            i, rng_or_draws = xs
-            param, v, m = carry
-            value, grad, log_norm = obj(param, rng_or_draws)
-            lr = learning_rate_schedule(i, n_iters, learning_rate,
-                                        learning_rate_end).astype(dtype)
-            if kind == 'rmsprop':
-                v = jnp.where(i == 0, grad ** 2,
-                              v * alpha + (1. - alpha) * grad ** 2)
-                new_param = param - lr * grad / jnp.sqrt(epsilon + v)
-            else:  # adam
-                v = jnp.where(i == 0, 0.9 * grad ** 2,
-                              v * beta2 + (1. - beta2) * grad ** 2)
-                m = jnp.where(i == 0, 0.9 * grad,
-                              m * beta1 + (1. - beta1) * grad)
-                fi = (i + 2).astype(dtype)
-                m_hat = m / (1 - beta1 ** fi)
-                v_hat = v / (1 - beta2 ** fi)
-                new_param = param - lr * m_hat / jnp.sqrt(epsilon + v_hat)
-            return (new_param, v, m), (value, log_norm, param)
-
-        iters = jnp.arange(n_iters)
-        if presampled:
-            xs = (iters, obj.make_draws(chain_key, n_iters, dtype))
+        if use_ring:
+            def ring_step(carry, xs):
+                inner, ring = carry
+                i = xs[0]
+                inner, (value, log_norm, param) = step(inner, xs)
+                ring = ring.at[jnp.mod(i, hist_cap)].set(param)
+                return (inner, ring), (value, log_norm)
         else:
-            xs = (iters, jax.vmap(
-                lambda i: jax.random.fold_in(chain_key, i))(iters))
-        carry0 = (init_param, jnp.zeros((P,), dtype), jnp.zeros((P,), dtype))
-        final_carry, ys = jax.lax.scan(step, carry0, xs)
-        return ys, final_carry[0]
+            ring_step = None
+
+        xs = _chain_xs(obj, chain_key, 0, n_iters, dtype)
+        zeros = jnp.zeros((P,), dtype)
+        carry0 = (init_param, zeros, zeros, zeros)
+        if use_ring:
+            ring0 = jnp.zeros((hist_cap, P), dtype)
+            (carry, ring), (values, log_norms) = jax.lax.scan(
+                ring_step, (carry0, ring0), xs)
+            chains = jnp.roll(ring, -(n_iters % hist_cap), axis=0)
+        else:
+            carry, (values, log_norms, chains) = jax.lax.scan(
+                step, carry0, xs)
+        return (values, log_norms, chains), carry[0], carry[3]
 
     return jax.vmap(one_chain)(inits, keys)
 
 
-def _ia_postprocess(n_iters, K, chains, values, log_norms, rhat_window,
+@partial(jax.jit, static_argnames=('obj', 'kind', 'n_iters', 'learning_rate',
+                                   'epsilon', 'learning_rate_end',
+                                   'avg_start', 'length'))
+def _chains_segment(obj, kind, n_iters, learning_rate, epsilon,
+                    learning_rate_end, avg_start, length, i0, params, v, m,
+                    avg, keys):
+    """One compiled segment of the chains run: iterations [i0, i0+length).
+
+    `i0` is a traced scalar so every equal-length segment reuses the same
+    executable.  Carry state is explicit, which is what makes the segmented
+    driver checkpointable and resumable (see
+    `rmsprop_IA_optimize_with_rhat(checkpoint_path=...)`).
+    """
+    def one_chain(param, v, m, avg, chain_key):
+        dtype = param.dtype
+        step = _make_chain_step(obj, kind, n_iters, learning_rate, epsilon,
+                                learning_rate_end, avg_start, dtype)
+        xs = _chain_xs(obj, chain_key, i0, length, dtype)
+        carry, ys = jax.lax.scan(step, (param, v, m, avg), xs)
+        return carry, ys
+
+    return jax.vmap(one_chain)(params, v, m, avg, keys)
+
+
+def _segment_progress(i_done, n_iters, values, n_chains):
+    """Reference-style running-average-loss progress line
+    (reference: viabel/vb.py:469-473, 631-635 print
+    ``Average Loss = mean(value_history[i-1000:i+1])`` via tqdm)."""
+    lo = max(0, (i_done - 1000) * n_chains)
+    avg_loss = float(np.mean(values[lo:i_done * n_chains]))
+    print('\r  iter {:>7d}/{} | average loss = {:<12,.6g}'.format(
+        i_done, n_iters, avg_loss),
+        end='' if i_done < n_iters else '\n', flush=True)
+
+
+def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
+                          learning_rate_end, inits, keys, hist_cap,
+                          avg_start, save_every, checkpoint_path, progress):
+    """Segmented chains driver: progress reporting, checkpoint/resume, and
+    interrupt-safe partial results.
+
+    The reference's Python loop is tqdm-instrumented and returns partial
+    histories on KeyboardInterrupt (reference: viabel/vb.py:469-481,
+    631-643); a single compiled scan can do neither, so this driver runs the
+    same math (bit-identical: same per-iteration keys, same update rule) in
+    `save_every`-iteration compiled segments with the carry held explicitly.
+    After each segment the state is checkpointed (if `checkpoint_path`), a
+    progress line is printed (if `progress`), and a KeyboardInterrupt
+    between segments returns everything computed so far.
+
+    Returns ``((values, log_norms, chains), final_params, avg_params,
+    i_done)`` with histories truncated to the `i_done` completed iterations.
+    """
+    inits = jnp.asarray(inits)
+    n_chains, P = inits.shape
+    np_dtype = np.asarray(inits).dtype
+    cap = min(hist_cap, n_iters) if hist_cap is not None else n_iters
+
+    template = dict(
+        i=np.zeros((), np.int64),
+        params=np.zeros((n_chains, P), np_dtype),
+        v=np.zeros((n_chains, P), np_dtype),
+        m=np.zeros((n_chains, P), np_dtype),
+        avg=np.zeros((n_chains, P), np_dtype),
+        values=np.zeros((n_chains, n_iters), np_dtype),
+        lns=np.zeros((n_chains, n_iters), np_dtype),
+        hist=np.zeros((n_chains, cap, P), np_dtype),
+    )
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        from .checkpoint import load_checkpoint
+        state = load_checkpoint(checkpoint_path, like=template)
+        start = int(state['i'])
+    else:
+        state = template
+        state['params'] = np.asarray(inits)
+        start = 0
+
+    params = jnp.asarray(state['params'])
+    v = jnp.asarray(state['v'])
+    m = jnp.asarray(state['m'])
+    avg = jnp.asarray(state['avg'])
+
+    i = start
+    try:
+        while i < n_iters:
+            length = min(save_every, n_iters - i)
+            (params, v, m, avg), (vals, lns, hist_seg) = _chains_segment(
+                obj, kind, n_iters, learning_rate, epsilon,
+                learning_rate_end, avg_start, length, jnp.asarray(i),
+                params, v, m, avg, keys)
+            state['values'][:, i:i + length] = np.asarray(vals)
+            state['lns'][:, i:i + length] = np.asarray(lns)
+            # ring-write the parameter history into the capped host buffer
+            slots = (np.arange(i, i + length)) % cap
+            state['hist'][:, slots] = np.asarray(hist_seg)
+            i += length
+            state['i'] = np.asarray(i)
+            state['params'] = np.asarray(params)
+            state['v'] = np.asarray(v)
+            state['m'] = np.asarray(m)
+            state['avg'] = np.asarray(avg)
+            if checkpoint_path is not None:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, state)
+            if progress:
+                _segment_progress(
+                    i, n_iters,
+                    state['values'][:, :i].T.reshape(-1), n_chains)
+    except KeyboardInterrupt:
+        if progress:
+            print()
+        # partial results: truncate to completed iterations (reference:
+        # viabel/vb.py:476-481, 638-643 return partial histories)
+
+    i_done = i
+    values = state['values'][:, :i_done]
+    lns = state['lns'][:, :i_done]
+    kept = min(i_done, cap)
+    first_kept = i_done - kept
+    order = (first_kept + np.arange(kept)) % cap
+    chains = state['hist'][:, order]
+    return ((jnp.asarray(values), jnp.asarray(lns), jnp.asarray(chains)),
+            jnp.asarray(state['params']), jnp.asarray(state['avg']), i_done)
+
+
+def _ia_postprocess(K, chains, values, log_norms, rhat_window,
                     r_mean_threshold, r_sigma_threshold, tail_avg_iters):
     """R-hat-driven iterate-averaging post-pass shared by the RMSProp and
     Adam IA optimizers (reference: viabel/vb.py:487-549, 649-709).
 
-    `chains` has shape (n_chains, n_iters, P) with the location block in
-    ``[:, :, :K]`` and the scale block in ``[:, :, K:]``.
+    `chains` has shape (n_chains, hist_len, P) with the location block in
+    ``[:, :, :K]`` and the scale block in ``[:, :, K:]``; `hist_len` may be
+    shorter than `n_iters` when the ``100 * window`` history cap applied
+    (reference: viabel/vb.py:629-630) or the run was interrupted — indices
+    (R-hat windows, averaging starts) are then relative to the retained
+    history, as in the reference's post-pass over the truncated list.
     """
     chains = np.asarray(chains)
+    hist_len = chains.shape[1]
     rhats = compute_R_hat_adaptive(chains, window_size=rhat_window)
     rhats_halfway = compute_R_hat_halfway(chains, interval=100, start=200)
 
@@ -290,7 +480,7 @@ def _ia_postprocess(n_iters, K, chains, values, log_norms, rhat_window,
     # threshold sets the start of averaging (reference: viabel/vb.py:495-512;
     # clamped at 0 — the reference crashes when tail_avg_iters > n_iters).
     def find_start(windows, threshold):
-        start = max(n_iters - tail_avg_iters, 0)
+        start = max(hist_len - tail_avg_iters, 0)
         for ee in range(windows.shape[0] - 1):
             if (windows[ee] < threshold).all() and \
                (windows[ee + 1] < threshold).all():
@@ -323,13 +513,66 @@ def _ia_postprocess(n_iters, K, chains, values, log_norms, rhat_window,
             optimisation_log)
 
 
+def _ia_optimize(kind, perturb_scale, n_iters, objective_and_grad,
+                 init_param, K, key, has_log_norm, window, learning_rate,
+                 epsilon, rhat_window, averaging, n_optimisers,
+                 r_mean_threshold, r_sigma_threshold, tail_avg_iters,
+                 learning_rate_end, mesh, checkpoint_path, save_every,
+                 progress):
+    """Shared driver for the RMSProp-IA and Adam-IA optimizers."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    obj = _wrap_objective(objective_and_grad, has_log_norm)
+    init_param = jnp.asarray(init_param)
+
+    init_key, *chain_keys = jax.random.split(key, n_optimisers + 1)
+    inits = _perturbed_inits(init_param, n_optimisers, perturb_scale,
+                             init_key)
+    chain_keys = jnp.stack(chain_keys)
+    if mesh is not None:
+        from .parallel.sharded_chains import shard_chain_inputs
+        inits, chain_keys = shard_chain_inputs(inits, chain_keys, mesh)
+
+    # history cap: keep at most 100*window iterates per chain
+    # (reference: viabel/vb.py:476-477, 629-630)
+    hist_cap = 100 * window if window is not None else None
+    # online tail average from n_iters // 1.3 when averaging is on
+    # (reference: viabel/vb.py:624-627)
+    avg_start = int(n_iters // 1.3) if averaging else None
+
+    if checkpoint_path is not None or progress:
+        ((values, log_norms, chains), final_params, avg_params,
+         _i_done) = _chains_run_segmented(
+            obj, kind, n_iters, learning_rate, epsilon, learning_rate_end,
+            inits, chain_keys, hist_cap, avg_start, save_every,
+            checkpoint_path, progress)
+    else:
+        (values, log_norms, chains), final_params, avg_params = _chains_run(
+            obj, kind, n_iters, learning_rate, epsilon, learning_rate_end,
+            inits, chain_keys, hist_cap=hist_cap, avg_start=avg_start)
+
+    (avg_means, avg_sigmas, value_history, log_norm_history,
+     optimisation_log) = _ia_postprocess(
+        K, chains, values, log_norms, rhat_window,
+        r_mean_threshold, r_sigma_threshold, tail_avg_iters)
+    if averaging:
+        optimisation_log['averaged_variational_param'] = \
+            np.asarray(avg_params)
+    # post-final-update parameter of the last chain, matching the reference
+    # return (reference: viabel/vb.py:547)
+    return (np.asarray(final_params)[-1], np.asarray(chains), avg_means,
+            avg_sigmas, value_history, log_norm_history, optimisation_log)
+
+
 def rmsprop_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
                                   *, key=None, has_log_norm=None, window=500,
                                   learning_rate=.01, epsilon=.000001,
                                   rhat_window=500, averaging=True,
                                   n_optimisers=1, r_mean_threshold=1.15,
                                   r_sigma_threshold=1.20, tail_avg_iters=2000,
-                                  learning_rate_end=None, mesh=None):
+                                  learning_rate_end=None, mesh=None,
+                                  checkpoint_path=None, save_every=1000,
+                                  progress=False):
     """RMSProp with R-hat-gated iterate averaging over parallel chains
     (reference: viabel/vb.py:392-549).
 
@@ -340,33 +583,33 @@ def rmsprop_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
     (``grad_norm*a+(1-a)*grad_norm``; reference: viabel/vb.py:454) and is
     intentionally not replicated.  Chains run vmapped, not sequentially.
 
+    `window` caps the retained per-chain parameter history at
+    ``100 * window`` iterates (reference: viabel/vb.py:476-477); pass
+    ``window=None`` to keep the full history.  With ``averaging=True`` an
+    online running mean of the post-update parameters over the last ~23% of
+    iterations is maintained in the compiled scan and returned as
+    ``optimisation_log['averaged_variational_param']`` (shape
+    ``(n_chains, P)``) — the reference computes this (Adam variant only,
+    viabel/vb.py:624-627) but drops it; see PARITY.md.
+
+    With `checkpoint_path` and/or ``progress=True`` the run executes in
+    `save_every`-iteration compiled segments: state is checkpointed after
+    each segment (and resumed from `checkpoint_path` if it exists), a
+    running-average-loss progress line is printed (reference:
+    viabel/vb.py:469-473), and a KeyboardInterrupt returns partial
+    histories (reference: viabel/vb.py:476-481).  Segmented runs are
+    bit-identical to the single-scan path.
+
     Returns the reference's 7-tuple:
     ``(variational_param, chains, averaged_means_list, averaged_sigmas_list,
     value_history, log_norm_history, optimisation_log)``.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    obj = _wrap_objective(objective_and_grad, has_log_norm)
-    init_param = jnp.asarray(init_param)
-
-    init_key, *chain_keys = jax.random.split(key, n_optimisers + 1)
-    inits = _perturbed_inits(init_param, n_optimisers, 0.5, init_key)
-    chain_keys = jnp.stack(chain_keys)
-    if mesh is not None:
-        from .parallel.sharded_chains import shard_chain_inputs
-        inits, chain_keys = shard_chain_inputs(inits, chain_keys, mesh)
-
-    (values, log_norms, chains), final_params = _chains_run(
-        obj, 'rmsprop', n_iters, learning_rate, epsilon, learning_rate_end,
-        inits, chain_keys)
-    (avg_means, avg_sigmas, value_history, log_norm_history,
-     optimisation_log) = _ia_postprocess(
-        n_iters, K, chains, values, log_norms, rhat_window,
-        r_mean_threshold, r_sigma_threshold, tail_avg_iters)
-    # post-final-update parameter of the last chain, matching the reference
-    # return (reference: viabel/vb.py:547)
-    return (np.asarray(final_params)[-1], np.asarray(chains), avg_means,
-            avg_sigmas, value_history, log_norm_history, optimisation_log)
+    return _ia_optimize('rmsprop', 0.5, n_iters, objective_and_grad,
+                        init_param, K, key, has_log_norm, window,
+                        learning_rate, epsilon, rhat_window, averaging,
+                        n_optimisers, r_mean_threshold, r_sigma_threshold,
+                        tail_avg_iters, learning_rate_end, mesh,
+                        checkpoint_path, save_every, progress)
 
 
 def adam_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
@@ -375,37 +618,28 @@ def adam_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
                                rhat_window=500, averaging=True,
                                n_optimisers=1, r_mean_threshold=1.15,
                                r_sigma_threshold=1.20, tail_avg_iters=2000,
-                               learning_rate_end=None, mesh=None):
+                               learning_rate_end=None, mesh=None,
+                               checkpoint_path=None, save_every=1000,
+                               progress=False):
     """Adam with R-hat-gated iterate averaging over parallel chains
     (reference: viabel/vb.py:554-712).
 
     Per-step rule: Adam moments with beta1=0.9, beta2=0.999, initialized at
     ``0.9*g`` / ``0.9*g^2`` and bias-corrected with power ``i+2``
     (reference: viabel/vb.py:611-623).  Chain inits perturbed with scale 0.2
-    (reference: viabel/vb.py:586).  Returns the same 7-tuple as
-    `rmsprop_IA_optimize_with_rhat`.
+    (reference: viabel/vb.py:586).  `window`, `averaging`,
+    `checkpoint_path`, `save_every` and `progress` behave as in
+    `rmsprop_IA_optimize_with_rhat` (history cap: viabel/vb.py:629-630;
+    online tail average: viabel/vb.py:624-627; progress:
+    viabel/vb.py:631-635; partial results: viabel/vb.py:638-643).  Returns
+    the same 7-tuple.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    obj = _wrap_objective(objective_and_grad, has_log_norm)
-    init_param = jnp.asarray(init_param)
-
-    init_key, *chain_keys = jax.random.split(key, n_optimisers + 1)
-    inits = _perturbed_inits(init_param, n_optimisers, 0.2, init_key)
-    chain_keys = jnp.stack(chain_keys)
-    if mesh is not None:
-        from .parallel.sharded_chains import shard_chain_inputs
-        inits, chain_keys = shard_chain_inputs(inits, chain_keys, mesh)
-
-    (values, log_norms, chains), final_params = _chains_run(
-        obj, 'adam', n_iters, learning_rate, epsilon, learning_rate_end,
-        inits, chain_keys)
-    (avg_means, avg_sigmas, value_history, log_norm_history,
-     optimisation_log) = _ia_postprocess(
-        n_iters, K, chains, values, log_norms, rhat_window,
-        r_mean_threshold, r_sigma_threshold, tail_avg_iters)
-    return (np.asarray(final_params)[-1], np.asarray(chains), avg_means,
-            avg_sigmas, value_history, log_norm_history, optimisation_log)
+    return _ia_optimize('adam', 0.2, n_iters, objective_and_grad,
+                        init_param, K, key, has_log_norm, window,
+                        learning_rate, epsilon, rhat_window, averaging,
+                        n_optimisers, r_mean_threshold, r_sigma_threshold,
+                        tail_avg_iters, learning_rate_end, mesh,
+                        checkpoint_path, save_every, progress)
 
 
 def rmsprop_IA_optimize(n_iters, objective_and_grad, init_param, K, *,

@@ -130,8 +130,8 @@ def _make_handler(service):
 
 
 def serve(service, port=8080, host='127.0.0.1'):
-    """Run the HTTP server (blocking).  Returns the server object when
-    started with `start_background=True` via `start_server`."""
+    """Run the HTTP server (blocking).  Use `start_server` to run it on a
+    background thread instead."""
     httpd = ThreadingHTTPServer((host, port), _make_handler(service))
     httpd.serve_forever()
 
