@@ -1,13 +1,22 @@
-"""Benchmark: ELBO-gradient evaluations per second per chip.
+"""Hardware benchmark: the full eight-schools headline story on one chip.
 
-Primary workload (BASELINE.md): eight-schools centered KLVI with a
-mean-field Student-t(40) family and n_mc = 100, the reference's headline
-configuration (reference: notebooks/eight-schools.ipynb cell 16 —
-278.19 it/s on the author's laptop, i.e. ~27.8k ELBO-gradient evals/s).
-The whole optimization loop is one compiled `lax.scan`; compile time is
-excluded by timing a second invocation of the same program.
+Measured configurations (BASELINE.md; reference:
+notebooks/eight-schools.ipynb cell 16 on the author's laptop):
 
-Prints exactly one JSON line on stdout; diagnostics go to stderr.
+* KLVI optimizer — mean-field Student-t(40), n_mc = 100, 5000 iters
+  (reference 278.19 it/s).  This is the headline metric: ELBO-gradient
+  evaluations per second per chip.
+* CHIVI optimizer — alpha = 2, n_mc = 500, 5000 iters (reference
+  48.41 it/s).
+* Bound estimation — 2.5e6-sample CUBO/ELBO pass + `all_bounds`
+  (reference 25.4 s via per-sample Stan C++ calls).
+* PSIS — `psislw` over the 2.5e6 log-weights (tail fit + smoothing;
+  part of the reference's 36.0 s CHIVI bound pass).
+
+Every configuration is compiled once and timed at steady state (min of 3).
+The single JSON line carries the headline metric in the driver schema plus
+an `extra` dict with the full story and an HBM-utilization estimate for
+the bound pass.
 """
 import json
 import sys
@@ -19,60 +28,125 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
-from viabel_tpu import (adagrad_optimize, black_box_klvi,
+from viabel_tpu import (adagrad_optimize, black_box_chivi, black_box_klvi,
                         mean_field_t_variational_family)
+from viabel_tpu.bounds import all_bounds
+from viabel_tpu.experiments import get_samples_and_log_weights
 from viabel_tpu.models import eight_schools_cp_model
+from viabel_tpu.psis import psislw
 
-BASELINE_IT_PER_S = 278.19     # reference laptop, eight-schools CP KLVI
-N_MC = 100
+BASE_KLVI_IT_S = 278.19      # reference laptop it/s, eight-schools CP KLVI
+BASE_CHIVI_IT_S = 48.41      # reference laptop it/s, eight-schools CP CHIVI
+BASE_BOUND_S = 25.4          # reference 2.5e6-sample bound pass, seconds
+N_MC_KLVI, N_MC_CHIVI = 100, 500
 N_ITERS = 5000
+N_BOUND = 2500000
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def steady_state(fn, reps=3):
+    """Best-of-`reps` wall clock after one warm/compile call."""
+    jax.block_until_ready(fn(0))
+    times = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(rep + 1))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 def main():
     log('devices: {}'.format(jax.devices()))
     model = eight_schools_cp_model()
     fam = mean_field_t_variational_family(model.dim, 40)
-    # presampled mode: all Student-t draw generation batched outside the
-    # scan (bit-identical trajectories, ~1.8x faster; see objectives.py)
-    obj = black_box_klvi(fam, model.log_prob, N_MC, presampled=True)
-    init = jnp.asarray(
-        np.concatenate([np.zeros(model.dim), np.zeros(model.dim)]),
-        dtype=jnp.float32)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float32)
 
+    # -- KLVI optimizer (headline) --
+    klvi = black_box_klvi(fam, model.log_prob, N_MC_KLVI, presampled=True)
     t0 = time.perf_counter()
-    out = adagrad_optimize(N_ITERS, obj, init, key=jax.random.PRNGKey(0),
-                           learning_rate=.01, learning_rate_end=.001)
-    jax.block_until_ready(out[0])
-    t_first = time.perf_counter() - t0
-    log('first run (incl. compile): {:.2f}s'.format(t_first))
-
-    # steady state: same program shape, fresh key -> compile cache hit
-    times = []
-    for rep in range(3):
-        t0 = time.perf_counter()
-        out = adagrad_optimize(N_ITERS, obj, init,
-                               key=jax.random.PRNGKey(rep + 1),
+    opt_out = adagrad_optimize(N_ITERS, klvi, init,
+                               key=jax.random.PRNGKey(0),
                                learning_rate=.01, learning_rate_end=.001)
-        jax.block_until_ready(out[0])
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    it_per_s = N_ITERS / dt
-    evals_per_s = it_per_s * N_MC
-    log('steady-state: {:.3f}s for {} iters = {:.0f} it/s '
-        '({:.0f} ELBO-grad evals/s); reference laptop {:.2f} it/s'.format(
-            dt, N_ITERS, it_per_s, evals_per_s, BASELINE_IT_PER_S))
-    mean, cov = fam.mean_and_cov(out[0])
+    jax.block_until_ready(opt_out[0])
+    log('KLVI first call (incl. compile): {:.1f}s'.format(
+        time.perf_counter() - t0))
+    dt_klvi = steady_state(lambda r: adagrad_optimize(
+        N_ITERS, klvi, init, key=jax.random.PRNGKey(r),
+        learning_rate=.01, learning_rate_end=.001)[0])
+    klvi_it_s = N_ITERS / dt_klvi
+    log('KLVI: {:.3f}s = {:.0f} it/s ({:.3g} evals/s); reference {}'.format(
+        dt_klvi, klvi_it_s, klvi_it_s * N_MC_KLVI, BASE_KLVI_IT_S))
+    opt_param = opt_out[0]
+    mean, _ = fam.mean_and_cov(opt_param)
     log('posterior mean head: {}'.format(np.asarray(mean)[:3]))
 
+    # -- CHIVI optimizer --
+    chivi = black_box_chivi(2, fam, model.log_prob, N_MC_CHIVI,
+                            presampled=True)
+    dt_chivi = steady_state(lambda r: adagrad_optimize(
+        N_ITERS, chivi, opt_param, key=jax.random.PRNGKey(100 + r),
+        learning_rate=.01, learning_rate_end=.001)[0])
+    chivi_it_s = N_ITERS / dt_chivi
+    log('CHIVI: {:.3f}s = {:.0f} it/s; reference {}'.format(
+        dt_chivi, chivi_it_s, BASE_CHIVI_IT_S))
+
+    # -- 2.5e6-sample bound estimation --
+    def bound_pass(r):
+        _, lw = get_samples_and_log_weights(
+            model.log_prob, fam, opt_param, N_BOUND,
+            jax.random.PRNGKey(200 + r))
+        return lw
+    dt_draw = steady_state(bound_pass)
+    lw = bound_pass(0)
+    t0 = time.perf_counter()
+    bounds = all_bounds(np.asarray(lw),
+                        q_var=np.asarray(fam.mean_and_cov(opt_param)[1]),
+                        moment_bound_fn=lambda p: float(
+                            fam.pth_moment(opt_param, p)))
+    dt_bounds_host = time.perf_counter() - t0
+    dt_bound_total = dt_draw + dt_bounds_host
+    log('bound pass: draw+score {:.3f}s + bounds {:.3f}s = {:.3f}s '
+        '(reference {}s); d2 = {:.3g}'.format(
+            dt_draw, dt_bounds_host, dt_bound_total, BASE_BOUND_S,
+            bounds['d2']))
+    # utilization estimate for the draw+score pass: bytes touched / time
+    # (samples read+written once each in f32, log-weights written once)
+    approx_bytes = N_BOUND * model.dim * 4 * 2 + N_BOUND * 4
+    util_gbs = approx_bytes / dt_draw / 1e9
+    log('draw+score effective HBM traffic: ~{:.0f} GB/s'.format(util_gbs))
+
+    # -- PSIS over the 2.5e6 log-weights --
+    lw_dev = jnp.asarray(lw)
+    jax.block_until_ready(psislw(lw_dev)[0])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = psislw(lw_dev)
+        jax.block_until_ready(out[0])
+        times.append(time.perf_counter() - t0)
+    dt_psis = min(times)
+    khat = float(out[1])
+    log('PSIS (2.5e6 weights): {:.3f}s, khat = {:.3f}'.format(dt_psis, khat))
+
+    evals_per_s = klvi_it_s * N_MC_KLVI
     print(json.dumps({
         'metric': 'eight_schools_cp_klvi_elbo_grad_evals_per_s_per_chip',
         'value': round(evals_per_s, 1),
         'unit': 'evals/s/chip',
-        'vs_baseline': round(it_per_s / BASELINE_IT_PER_S, 2),
+        'vs_baseline': round(klvi_it_s / BASE_KLVI_IT_S, 2),
+        'extra': {
+            'chivi_it_per_s': round(chivi_it_s, 1),
+            'chivi_vs_baseline': round(chivi_it_s / BASE_CHIVI_IT_S, 2),
+            'bound_2p5e6_s': round(dt_bound_total, 4),
+            'bound_vs_baseline_speedup': round(
+                BASE_BOUND_S / dt_bound_total, 1),
+            'psis_2p5e6_s': round(dt_psis, 4),
+            'khat': round(khat, 3),
+            'draw_score_hbm_gb_per_s': round(util_gbs, 1),
+        },
     }))
 
 

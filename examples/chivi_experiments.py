@@ -1,9 +1,31 @@
-"""CHIVI gradient-variant experiments
-(reference: notebooks/chivi_expts.ipynb, chive_expts_3.ipynb — which import
-`black_box_chivi_neff` and perturbed-VI helpers from a sibling branch;
-SURVEY.md section 2.3): compare plain CHIVI, ESS-normalized CHIVI
-(chivi_neff), and perturbed-objective optimization on the robust-regression
-posterior, reporting convergence and khat for each."""
+"""CHIVI experiment protocols on synthetic correlated-design regressions
+(reference: notebooks/chivi_expts.ipynb, chive_expts_2.ipynb,
+chive_expts_3.ipynb).
+
+Each notebook runs the same three-stage protocol on a robust-regression
+posterior over `data_generator_linear` data (seed 5080):
+
+1. NUTS ground truth on the Stan model (here: the in-repo HMC sampler);
+2. a KLVI fit with a mean-field t(10) family, n_mc = 100;
+3. CHIVI warm-started from the KLVI solution with the log-scales inflated
+   by a config-specific offset — the experiments' point is that the CHIVI
+   basin reached depends on that initialization spread.
+
+Configurations (notebook : data : CHIVI stage):
+
+* chivi_expts    : N=60,  k=10, rho=0.05 — CHIVI mf-t(4.5), n_mc=500,
+  "good" (+0.1) and "bad" (+1.4) log-scale offsets, 3000 iters
+  (cells 8, 20-27);
+* chive_expts_2  : N=80,  k=14, rho=0.1  — CHIVI mf-t(5), +0.6,
+  6000 iters, lr .01 -> .002 (cells 7, 16-17);
+* chive_expts_3  : N=90,  k=30, rho=0.1  — ESS-normalized
+  `black_box_chivi_neff` mf-t(8), +1.2, 1400 iters, lr .004 -> .0001
+  (cells 24, 30-31).
+
+Also runs the perturbed-objective KLVI variant the chivi notebooks import
+(`perturbed_black_box_vi`; SURVEY.md section 2.3).  Reports posterior mean
+error and PSIS khat after every stage.
+"""
 import argparse
 import sys
 
@@ -15,48 +37,107 @@ import numpy as np
 
 from viabel_tpu import (adagrad_optimize, black_box_chivi,
                         black_box_chivi_neff, black_box_klvi,
-                        init_from_moments, mean_field_t_variational_family,
+                        mean_field_t_variational_family,
                         perturbed_black_box_vi)
 from viabel_tpu.experiments import get_samples_and_log_weights
-from viabel_tpu.models import robust_regression_model
+from viabel_tpu.mcmc import hmc_ground_truth
+from viabel_tpu.models import data_generator_linear, robust_regression_model
 from viabel_tpu.psis import psislw
 
 
+def _fit_and_report(name, obj, init, n_iters, lr, lr_end, fam, model,
+                    truth, mc_samples, key):
+    opt, _, values, _ = adagrad_optimize(
+        n_iters, obj, jnp.asarray(init, dtype=jnp.float64), key=key,
+        learning_rate=lr, learning_rate_end=lr_end)
+    mean, _ = fam.mean_and_cov(opt)
+    _, lw = get_samples_and_log_weights(model.log_prob, fam, opt,
+                                        mc_samples, jax.random.fold_in(key, 1))
+    _, khat = psislw(lw)
+    mean_err = float(np.linalg.norm(np.asarray(mean) - truth['mean']))
+    print('  {:>22}: mean_err = {:.4f}  khat = {:+.3f}  '
+          'final loss = {:.5g}'.format(
+              name, mean_err, float(khat),
+              float(np.mean(np.asarray(values)[-50:]))), flush=True)
+    return opt, dict(mean_err=mean_err, khat=float(khat))
+
+
+def run_protocol(label, N, k, rho, chivi_cfgs, n_iters_klvi, mc_samples,
+                 hmc_samples, seed_key, use_neff=False, noise_sigma=0.5,
+                 alpha=1.0):
+    """One notebook's protocol: data -> HMC truth -> KLVI -> CHIVI stages.
+
+    `chivi_cfgs` is a list of ``(name, df, log_scale_offset, n_iters, lr,
+    lr_end)`` CHIVI stages, each warm-started from the KLVI solution.
+    """
+    print('== {} (N={}, k={}, rho={}) =='.format(label, N, k, rho))
+    data = data_generator_linear(N, k, alpha=alpha,
+                                 noise_variance=noise_sigma ** 2, rho=rho,
+                                 seed=5080)
+    model = robust_regression_model(data['X'], data['Y'], df=40.0)
+    truth = hmc_ground_truth(model, key=jax.random.fold_in(seed_key, 0),
+                             n_samples=hmc_samples, n_warmup=1000,
+                             n_chains=4)
+    print('  HMC truth: max R-hat = {:.4f}'.format(
+        truth['diagnostics']['r_hat'].max()))
+
+    results = {}
+    fam_klvi = mean_field_t_variational_family(k, 10)
+    klvi = black_box_klvi(fam_klvi, model.log_prob, 100)
+    init = np.concatenate([np.zeros(k), np.ones(k)])
+    klvi_opt, results['klvi'] = _fit_and_report(
+        'klvi mf-t(10)', klvi, init, n_iters_klvi, .01, .001, fam_klvi,
+        model, truth, mc_samples, jax.random.fold_in(seed_key, 1))
+
+    for i, (name, df, offset, n_it, lr, lr_end) in enumerate(chivi_cfgs):
+        fam_c = mean_field_t_variational_family(k, df)
+        factory = black_box_chivi_neff if use_neff else black_box_chivi
+        obj = factory(2, fam_c, model.log_prob, 500)
+        warm = np.asarray(klvi_opt).copy()
+        warm[k:] += offset
+        _, results[name] = _fit_and_report(
+            name, obj, warm, n_it, lr, lr_end, fam_c, model, truth,
+            mc_samples, jax.random.fold_in(seed_key, 10 + i))
+    return results
+
+
 def main(full=False, n_iters=None, mc_samples=None):
-    n_iters = n_iters or (5000 if full else 1000)
-    mc_samples = mc_samples or (1000000 if full else 50000)
+    scale = 1.0 if full else 0.2
+    it = lambda n: n_iters or max(int(n * scale), 200)
+    mc = mc_samples or (1000000 if full else 50000)
+    hmc_n = 20000 if full else 4000
+    out = {}
+
+    # chivi_expts.ipynb: good vs bad CHIVI init spread (cells 20-27)
+    out['chivi_expts'] = run_protocol(
+        'chivi_expts', 60, 10, 0.05,
+        [('chivi mf-t(4.5) +0.1', 4.5, 0.1, it(3000), .01, None),
+         ('chivi mf-t(4.5) +1.4 (bad)', 4.5, 1.4, it(3000), .01, None)],
+        it(5000), mc, hmc_n, jax.random.PRNGKey(0))
+
+    # chive_expts_2.ipynb: k=14, single good run (cells 16-17)
+    out['chive_expts_2'] = run_protocol(
+        'chive_expts_2', 80, 14, 0.1,
+        [('chivi mf-t(5) +0.6', 5, 0.6, it(6000), .01, .002)],
+        it(5000), mc, hmc_n, jax.random.PRNGKey(1))
+
+    # chive_expts_3.ipynb: k=30, ESS-normalized gradient (cells 30-31)
+    out['chive_expts_3'] = run_protocol(
+        'chive_expts_3', 90, 30, 0.1,
+        [('chivi_neff mf-t(8) +1.2', 8, 1.2, it(1400), .004, .0001)],
+        it(6000), mc, hmc_n, jax.random.PRNGKey(2), use_neff=True)
+
+    # the perturbed-objective variant the chivi notebooks import
+    print('== perturbed KLVI (robust-regression notebook data) ==')
     model = robust_regression_model()
     fam = mean_field_t_variational_family(2, 40)
-    warm = init_from_moments(fam, model.true_mean, 4.0 * model.true_cov)
-
-    runs = [
-        ('chivi', black_box_chivi(2, fam, model.log_prob, 500), warm),
-        ('chivi_neff', black_box_chivi_neff(2, fam, model.log_prob, 500),
-         warm),
-        ('perturbed_klvi',
-         perturbed_black_box_vi(fam, model.log_prob, 100,
-                                perturbation_scale=0.05),
-         jnp.zeros(fam.var_param_dim)),
-        ('klvi', black_box_klvi(fam, model.log_prob, 100),
-         jnp.zeros(fam.var_param_dim)),
-    ]
-    results = {}
-    for i, (name, obj, init) in enumerate(runs):
-        opt, _, values, _ = adagrad_optimize(
-            n_iters, obj, jnp.asarray(init, dtype=jnp.float32),
-            key=jax.random.PRNGKey(i), learning_rate=.01)
-        mean, _ = fam.mean_and_cov(opt)
-        _, lw = get_samples_and_log_weights(model.log_prob, fam, opt,
-                                            mc_samples,
-                                            jax.random.PRNGKey(100 + i))
-        _, khat = psislw(lw)
-        mean_err = float(np.linalg.norm(np.asarray(mean) - model.true_mean))
-        print('{:>15}: mean_err = {:.4f}  khat = {:+.3f}  '
-              'final loss = {:.4g}'.format(
-                  name, mean_err, float(khat),
-                  float(np.mean(np.asarray(values)[-50:]))))
-        results[name] = dict(mean_err=mean_err, khat=float(khat))
-    return results
+    obj = perturbed_black_box_vi(fam, model.log_prob, 100,
+                                 perturbation_scale=0.05)
+    truth = dict(mean=model.true_mean)
+    _, out['perturbed_klvi'] = _fit_and_report(
+        'perturbed_klvi', obj, np.zeros(4), it(3000), .01, None, fam,
+        model, truth, mc, jax.random.PRNGKey(3))
+    return out
 
 
 if __name__ == '__main__':

@@ -22,3 +22,13 @@ jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_collection_modifyitems(config, items):
+    # Deliberately small-sample harness runs would otherwise spam the
+    # MC-error warning (threshold 0.01 matches the reference and is tuned
+    # for its 1e6-sample production passes); the warning's own unit test
+    # opts back in with pytest.warns.
+    config.addinivalue_line(
+        'filterwarnings',
+        'ignore::viabel_tpu.bounds.MonteCarloErrorWarning')

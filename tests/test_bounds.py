@@ -177,3 +177,14 @@ def test_normal_mixture_workload():
     res3 = all_bounds(log_weights, moment_bound_fn=mb, q_var=q_var)
     np.testing.assert_allclose(res3['W2'], 2.7160, rtol=1e-3)
     np.testing.assert_allclose(res3['mean_error'], 2.7160, rtol=1e-3)
+
+
+def test_mc_error_warning_category():
+    """Small-sample bound estimates warn with the dedicated
+    MonteCarloErrorWarning category at the reference's 0.01-stderr
+    threshold (reference: viabel/bounds.py:183-192)."""
+    from viabel_tpu.bounds import MonteCarloErrorWarning
+    noisy = np.asarray(5.0 * jax.random.normal(jax.random.PRNGKey(11), (50,),
+                                               dtype=jnp.float64))
+    with pytest.warns(MonteCarloErrorWarning):
+        divergence_bound(noisy, alpha=2.0, log_norm_bound=0.0)

@@ -61,3 +61,20 @@ def test_linear_regression_ia_example(capsys):
         learning_rate=.02, n_optimisers=2, rhat_window=100,
         tail_avg_iters=100)
     np.testing.assert_allclose(out[2][0][-1], model.true_mean, atol=0.15)
+
+
+def test_chivi_experiments_example():
+    """The three chivi-notebook protocols (data gen -> HMC truth -> KLVI ->
+    warm-started CHIVI variants) run end to end at tiny sizes."""
+    from examples import chivi_experiments
+    res = chivi_experiments.main(full=False, n_iters=200, mc_samples=20000)
+    assert set(res) == {'chivi_expts', 'chive_expts_2', 'chive_expts_3',
+                        'perturbed_klvi'}
+    assert 'chivi mf-t(4.5) +1.4 (bad)' in res['chivi_expts']
+    assert 'chivi_neff mf-t(8) +1.2' in res['chive_expts_3']
+    for proto in res.values():
+        for stage in ([proto] if 'khat' in proto else proto.values()):
+            # khat = inf is a legitimate "unreliable" verdict for the
+            # deliberately bad CHIVI inits at smoke-test sizes
+            assert not np.isnan(stage['khat'])
+            assert np.isfinite(stage['mean_err'])

@@ -324,3 +324,25 @@ def test_ia_interrupt_partial_results_and_resume(tmp_path, monkeypatch):
     np.testing.assert_array_equal(resumed[0], fast[0])
     np.testing.assert_array_equal(resumed[1], fast[1])
     np.testing.assert_array_equal(resumed[4], fast[4])
+
+
+def test_many_distinct_objectives_warns():
+    """Constructing objectives in a loop (a fresh static jit argument per
+    instance => a full recompile per run) triggers a one-time warning."""
+    import warnings
+    import viabel_tpu.optimizers as opt
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+
+    misses = (opt._pad_objective.cache_info().misses
+              + opt._truncate_objective.cache_info().misses)
+    n_needed = opt._RECOMPILE_WARN_AT - misses
+    assert n_needed > 0, 'suite already crossed the warn threshold'
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        for _ in range(n_needed + 1):
+            obj = black_box_klvi(fam, model.log_prob, 4)  # fresh instance
+            opt._wrap_objective(obj, None)
+    msgs = [str(w.message) for w in caught]
+    assert any('recompile' in m for m in msgs)
+    assert sum('recompile' in m for m in msgs) == 1  # one-time

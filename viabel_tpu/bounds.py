@@ -39,7 +39,16 @@ __all__ = [
     'divergence_bound',
     'log_weight_stats',
     'central_moments',
+    'MonteCarloErrorWarning',
 ]
+
+
+class MonteCarloErrorWarning(UserWarning):
+    """Raised (as a warning) when a Monte Carlo bound estimate's standard
+    error exceeds the reference's 0.01 threshold
+    (reference: viabel/bounds.py:183-192).  A dedicated category so callers
+    running deliberately small-sample passes (tests, smoke runs) can filter
+    it precisely instead of suppressing all UserWarnings."""
 
 
 @partial(jax.jit, static_argnames=('alpha',))
@@ -95,7 +104,7 @@ def _check_mc_error(mean, stderr, atol=0.01, rtol=0.0, quantity_name=None):
         if quantity_name is not None:
             msg += ' when computing ' + quantity_name
         msg += ' (mean = {}, standard deviation = {})'.format(mean, stderr)
-        warn(msg)
+        warn(msg, MonteCarloErrorWarning)
     return mean
 
 

@@ -87,6 +87,27 @@ def _truncate_objective(objective_and_grad):
     return _copy_obj_attrs(objective_and_grad, wrapped)
 
 
+_RECOMPILE_WARN_AT = 32
+
+
+def _warn_if_many_objectives():
+    """One-time warning when many distinct objective instances have been
+    wrapped: each distinct instance is a distinct static jit argument, so
+    it costs a full optimizer recompile.  Catches the construct-objectives-
+    in-a-loop pattern that silently recompiles per call."""
+    misses = (_pad_objective.cache_info().misses
+              + _truncate_objective.cache_info().misses)
+    if misses == _RECOMPILE_WARN_AT:
+        import warnings
+        warnings.warn(
+            '{} distinct objective instances have been passed to the '
+            'optimizers this process; every distinct instance triggers a '
+            'full recompile of the optimizer scan.  Construct each '
+            'objective once (outside loops) and reuse it so repeated runs '
+            'hit the jit cache.'.format(_RECOMPILE_WARN_AT),
+            stacklevel=4)
+
+
 def _wrap_objective(objective_and_grad, has_log_norm):
     """Normalize an objective to the 3-output (value, grad, log_norm) form.
 
@@ -98,9 +119,10 @@ def _wrap_objective(objective_and_grad, has_log_norm):
     """
     if has_log_norm is None:
         has_log_norm = getattr(objective_and_grad, 'has_log_norm', False)
-    if has_log_norm:
-        return _truncate_objective(objective_and_grad)
-    return _pad_objective(objective_and_grad)
+    wrapped = (_truncate_objective(objective_and_grad) if has_log_norm
+               else _pad_objective(objective_and_grad))
+    _warn_if_many_objectives()
+    return wrapped
 
 
 class _WindowState(NamedTuple):
