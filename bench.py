@@ -94,6 +94,9 @@ def main():
         dt_chivi, chivi_it_s, BASE_CHIVI_IT_S))
 
     # -- 2.5e6-sample bound estimation --
+    # the log-weights stay on device: all_bounds' statistics pass is a
+    # jitted device reduction, and only scalars cross to the host (a bulk
+    # np.asarray(lw) fetch through the axon tunnel costs ~18 s for 10 MB)
     def bound_pass(r):
         _, lw = get_samples_and_log_weights(
             model.log_prob, fam, opt_param, N_BOUND,
@@ -102,7 +105,7 @@ def main():
     dt_draw = steady_state(bound_pass)
     lw = bound_pass(0)
     t0 = time.perf_counter()
-    bounds = all_bounds(np.asarray(lw),
+    bounds = all_bounds(lw,
                         q_var=np.asarray(fam.mean_and_cov(opt_param)[1]),
                         moment_bound_fn=lambda p: float(
                             fam.pth_moment(opt_param, p)))
@@ -112,11 +115,14 @@ def main():
         '(reference {}s); d2 = {:.3g}'.format(
             dt_draw, dt_bounds_host, dt_bound_total, BASE_BOUND_S,
             bounds['d2']))
-    # utilization estimate for the draw+score pass: bytes touched / time
-    # (samples read+written once each in f32, log-weights written once)
+    # utilization estimate for the draw+score pass: bytes touched / time.
+    # dt_draw includes one dispatch-latency-floor hit (session-dependent,
+    # up to ~35 ms; see benchmarks/pallas_study.py) — the estimate is a
+    # lower bound on achieved bandwidth.
     approx_bytes = N_BOUND * model.dim * 4 * 2 + N_BOUND * 4
     util_gbs = approx_bytes / dt_draw / 1e9
-    log('draw+score effective HBM traffic: ~{:.0f} GB/s'.format(util_gbs))
+    log('draw+score effective HBM traffic: >={:.0f} GB/s '
+        '(incl. dispatch floor)'.format(util_gbs))
 
     # -- PSIS over the 2.5e6 log-weights --
     lw_dev = jnp.asarray(lw)

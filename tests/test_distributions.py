@@ -96,3 +96,26 @@ def test_multivariate_t_logpdf_rank_deficient():
                                            jnp.asarray(mean),
                                            jnp.asarray(S), 8.0))
     assert np.isfinite(out).all()
+
+
+def test_student_t_sample_distribution():
+    """The rejection-free integer-df Student-t sampler
+    (distributions.student_t_sample; benchmarks/PALLAS_DECISION.md) is
+    exact: KS tests against scipy's t CDF pass across df, including the
+    odd-df (Gamma(1/2) = z^2/2) branch and the non-integer fallback."""
+    from viabel_tpu.distributions import student_t_sample
+    for df in [3, 5, 10, 40, 100, 4.5]:
+        x = np.asarray(student_t_sample(
+            jax.random.PRNGKey(int(df)), df, (120000,), jnp.float64))
+        _, p = sps.kstest(x, sps.t(df).cdf)
+        assert p > 0.005, 'KS rejected at df={} (p={})'.format(df, p)
+        if df > 2.5:
+            np.testing.assert_allclose(x.var(), df / (df - 2),
+                                       rtol=0.1 if df > 4 else 0.35)
+
+
+def test_student_t_sample_shapes_and_dtype():
+    from viabel_tpu.distributions import student_t_sample
+    x = student_t_sample(jax.random.PRNGKey(0), 40, (100, 3), jnp.float32)
+    assert x.shape == (100, 3) and x.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(x)))

@@ -1,13 +1,14 @@
 """viabel-tpu: TPU-native validated variational inference.
 
-A brand-new JAX/XLA/Pallas framework with the capabilities of the reference
+A brand-new JAX/XLA framework with the capabilities of the reference
 `viabel` package (Huggins et al., "Validated Variational Inference via
 Practical Posterior Error Bounds", AISTATS 2020): KLVI/CHIVI black-box
 variational inference with reparameterization gradients, validated posterior
 error bounds (alpha-divergence, Wasserstein, moment errors), Pareto-smoothed
 importance sampling, and R-hat-gated iterate averaging — redesigned TPU-first
-with compiled `lax.scan` optimization loops, fused Pallas sample-and-score
-kernels, and mesh-sharded Monte Carlo estimation.
+with compiled `lax.scan` optimization loops, rejection-free samplers, and
+mesh-sharded Monte Carlo estimation (custom Pallas kernels were evaluated
+and retired by measurement — see benchmarks/PALLAS_DECISION.md).
 
 Like the reference, the bounds core is the default API surface
 (reference: viabel/__init__.py:1 exports only the bounds); everything else is

@@ -24,7 +24,6 @@ the same kernel runs sharded over a device mesh with `psum` reductions in
 `viabel_tpu.parallel.sharded_bounds`.  The scalar bound algebra stays in
 Python/numpy — there is nothing to accelerate there.
 """
-import os
 from functools import partial
 from warnings import warn
 
@@ -203,20 +202,6 @@ def error_bounds(W1=np.inf, W2=np.inf, q_var=np.inf, p_var=np.inf):
     return results
 
 
-def _lw_stats_dispatch(lw, alpha):
-    """Dispatch to the one-pass Pallas streaming kernel when opted in
-    (``VIABEL_TPU_PALLAS_STATS=1``) on TPU f32 inputs; the fused XLA
-    reduction otherwise.  Both are validated equal; on tunneled/remote TPU
-    runtimes the extra kernel launches can outweigh the single-pass win,
-    so XLA is the default."""
-    if (os.environ.get('VIABEL_TPU_PALLAS_STATS') == '1'
-            and lw.dtype == jnp.float32
-            and jax.devices()[0].platform in ('tpu', 'axon')):
-        from .ops import streaming_lw_stats
-        return streaming_lw_stats(lw, alpha=alpha)
-    return log_weight_stats(lw, alpha=alpha)
-
-
 def all_bounds(log_weights, samples=None, moment_bound_fn=None,
                q_var=None, p_var=None, log_norm_bound=None, alpha=2.0):
     """Compute all error and distance bounds.
@@ -240,7 +225,7 @@ def all_bounds(log_weights, samples=None, moment_bound_fn=None,
                          'and moment-error bounds are 2-divergence bounds); '
                          'use divergence_bound for other orders')
     lw = jnp.asarray(log_weights)
-    stats = _lw_stats_dispatch(lw, alpha)
+    stats = log_weight_stats(lw, alpha=alpha)
     moments = None
     if samples is not None:
         moments = central_moments(jnp.asarray(samples))
