@@ -104,11 +104,11 @@ def main():
         return lw
     dt_draw = steady_state(bound_pass)
     lw = bound_pass(0)
+    q_var = np.asarray(fam.mean_and_cov(opt_param)[1])
+    moment_bound_fn = lambda p: float(fam.pth_moment(opt_param, p))
+    all_bounds(lw, q_var=q_var, moment_bound_fn=moment_bound_fn)  # compile
     t0 = time.perf_counter()
-    bounds = all_bounds(lw,
-                        q_var=np.asarray(fam.mean_and_cov(opt_param)[1]),
-                        moment_bound_fn=lambda p: float(
-                            fam.pth_moment(opt_param, p)))
+    bounds = all_bounds(lw, q_var=q_var, moment_bound_fn=moment_bound_fn)
     dt_bounds_host = time.perf_counter() - t0
     dt_bound_total = dt_draw + dt_bounds_host
     log('bound pass: draw+score {:.3f}s + bounds {:.3f}s = {:.3f}s '

@@ -119,3 +119,13 @@ def test_student_t_sample_shapes_and_dtype():
     x = student_t_sample(jax.random.PRNGKey(0), 40, (100, 3), jnp.float32)
     assert x.shape == (100, 3) and x.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_chi2_sample_distribution():
+    from viabel_tpu.distributions import chi2_sample
+    for df in [1, 2, 5, 40, 101, 6.5]:
+        x = np.asarray(chi2_sample(jax.random.PRNGKey(int(df)), df,
+                                   (120000,), jnp.float64))
+        _, p = sps.kstest(x, sps.chi2(df).cdf)
+        assert p > 0.005, 'KS rejected at df={} (p={})'.format(df, p)
+        np.testing.assert_allclose(x.mean(), df, rtol=0.05)

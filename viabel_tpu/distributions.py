@@ -28,6 +28,7 @@ __all__ = [
     'mvt_logpdf_chol',
     'multivariate_t_logpdf',
     'student_t_sample',
+    'chi2_sample',
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -59,6 +60,23 @@ def _gamma_integer_shape(key, k, shape, dtype):
         total = total - jnp.log(prod)
         i += group
     return total
+
+
+def chi2_sample(key, df, shape, dtype=jnp.float32):
+    """Chi-square draws, rejection-free for integer ``df`` (the same
+    closed-form construction as `student_t_sample`); falls back to
+    `jax.random.chisquare` otherwise."""
+    df_int = int(df)
+    if df != df_int or not 1 <= df_int <= _MAX_EXACT_T_DF:
+        return jax.random.chisquare(key, df, shape, dtype=dtype)
+    kg, ko = jax.random.split(key)
+    chi2 = jnp.zeros(shape, dtype)
+    if df_int // 2 > 0:
+        chi2 = 2.0 * _gamma_integer_shape(kg, df_int // 2, shape, dtype)
+    if df_int % 2 == 1:
+        z1 = jax.random.normal(ko, shape, dtype=dtype)
+        chi2 = chi2 + z1 * z1
+    return chi2
 
 
 def student_t_sample(key, df, shape, dtype=jnp.float32):

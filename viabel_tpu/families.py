@@ -27,9 +27,9 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .distributions import (diag_normal_logpdf, diag_student_t_logpdf,
-                            mvn_logpdf_chol, mvt_logpdf_chol,
-                            student_t_sample)
+from .distributions import (chi2_sample, diag_normal_logpdf,
+                            diag_student_t_logpdf, mvn_logpdf_chol,
+                            mvt_logpdf_chol, student_t_sample)
 
 __all__ = [
     'VariationalFamily',
@@ -269,7 +269,7 @@ def t_variational_family(dim, df):
         key_z, key_s = jax.random.split(key)
         return dict(
             z=jax.random.normal(key_z, (n_samples, dim), dtype=dtype),
-            chi2=jax.random.chisquare(key_s, df, (n_samples,), dtype=dtype))
+            chi2=chi2_sample(key_s, df, (n_samples,), dtype=dtype))
 
     def transform(var_param, draws):
         mu, L = _unpack_chol(var_param, dim)
