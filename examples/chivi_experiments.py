@@ -47,9 +47,12 @@ from viabel_tpu.psis import psislw
 
 def _fit_and_report(name, obj, init, n_iters, lr, lr_end, fam, model,
                     truth, mc_samples, key):
+    # default float dtype: f64 under the test suite's x64 config, f32 on a
+    # direct run (hard-coding float64 would silently downcast with a
+    # warning outside pytest)
     opt, _, values, _ = adagrad_optimize(
-        n_iters, obj, jnp.asarray(init, dtype=jnp.float64), key=key,
-        learning_rate=lr, learning_rate_end=lr_end)
+        n_iters, obj, jnp.asarray(init, dtype=jnp.result_type(float)),
+        key=key, learning_rate=lr, learning_rate_end=lr_end)
     mean, _ = fam.mean_and_cov(opt)
     _, lw = get_samples_and_log_weights(model.log_prob, fam, opt,
                                         mc_samples, jax.random.fold_in(key, 1))

@@ -90,3 +90,24 @@ def test_hmc_sample_output_contract():
     assert out['step_size'].shape == (3,)
     assert np.all(out['step_size'] > 0)
     assert np.all(np.isfinite(out['samples']))
+
+
+def test_hmc_anisotropic_preconditioning():
+    """The adapted diagonal inverse mass equals the posterior variance
+    (M = Sigma^-1, the Stan euclidean metric) — a 100:1 scale ratio
+    posterior is recovered accurately (regression test: a round-2 review
+    found the adaptation inverted, which anti-preconditioned anisotropic
+    targets)."""
+    import jax.numpy as jnp
+
+    def log_prob(q):
+        q = jnp.atleast_2d(q)
+        lp = -0.5 * ((q[:, 0] / 10.0) ** 2 + (q[:, 1] / 0.1) ** 2)
+        return lp[0] if jnp.ndim(q) == 1 else lp
+
+    out = hmc_sample(log_prob, np.zeros(2), key=jax.random.PRNGKey(0),
+                     n_samples=4000, n_warmup=1000, n_chains=4)
+    np.testing.assert_allclose(out['inv_mass'], [100.0, 0.01], rtol=0.25)
+    assert out['r_hat'].max() < 1.02
+    np.testing.assert_allclose(np.sqrt(np.diag(out['cov'])), [10.0, 0.1],
+                               rtol=0.1)

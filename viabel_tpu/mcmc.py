@@ -20,13 +20,22 @@ itself does: sample the non-centered parameterization and transform
 Everything is jit-compiled `lax.scan` phases with chains vmapped — one
 compiled program per phase, no per-iteration host dispatch.
 """
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ['hmc_sample', 'hmc_ground_truth']
+
+
+@lru_cache(maxsize=256)
+def _scalar_log_prob(log_prob):
+    """Cached scalar-output wrapper: `_hmc_phase` treats the log density as
+    a static jit argument, so the wrapper must be one object per underlying
+    `log_prob` or every `hmc_sample` call recompiles all three phases
+    (CLAUDE.md convention; see optimizers._pad_objective)."""
+    return lambda q: jnp.reshape(log_prob(q), ())
 
 
 def _leapfrog(grad_fn, q, p, eps, inv_mass, n_steps):
@@ -141,7 +150,10 @@ def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
         key = jax.random.PRNGKey(0)
     init = jnp.asarray(init, dtype=jnp.result_type(float))
     d = init.shape[0]
-    lp1 = lambda q: jnp.reshape(log_prob(q), ())
+    try:
+        lp1 = _scalar_log_prob(log_prob)
+    except TypeError:  # unhashable callable
+        lp1 = lambda q: jnp.reshape(log_prob(q), ())
 
     k_init, k_w1, k_w2, k_samp = jax.random.split(key, 4)
     q0 = init[None, :] + init_jitter * jax.random.normal(
@@ -154,9 +166,12 @@ def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
     chain_keys = jax.random.split(k_w1, n_chains)
     qs, q1, eps1, _ = _hmc_phase(lp1, n_w1, max_steps, True, target_accept,
                                  q0, chain_keys, eps_init, unit_mass)
-    # pooled diagonal mass from the second half of warmup-I draws
-    tail = qs[:, n_w1 // 2:].reshape(-1, d)
-    inv_mass = 1.0 / jnp.maximum(jnp.var(tail, axis=0), 1e-8)
+    # pooled diagonal preconditioner from the second half of warmup-I
+    # draws: the INVERSE mass is set to the estimated posterior variance
+    # (M = Sigma^-1, the standard Stan/euclidean metric), so wide
+    # dimensions get proportionally larger position updates
+    inv_mass = jnp.maximum(
+        jnp.var(qs[:, n_w1 // 2:].reshape(-1, d), axis=0), 1e-8)
 
     # warmup II: re-adapt step size under the estimated mass
     n_w2 = max(n_warmup - n_w1, 20)

@@ -454,9 +454,13 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
                 params, v, m, avg, keys)
             state['values'][:, i:i + length] = np.asarray(vals)
             state['lns'][:, i:i + length] = np.asarray(lns)
-            # ring-write the parameter history into the capped host buffer
-            slots = (np.arange(i, i + length)) % cap
-            state['hist'][:, slots] = np.asarray(hist_seg)
+            # ring-write the parameter history into the capped host buffer;
+            # only the trailing min(length, cap) iterations can survive the
+            # cap, and restricting to them keeps the slot indices unique
+            # (numpy fancy-index assignment with duplicates is unordered)
+            keep = min(length, cap)
+            slots = np.arange(i + length - keep, i + length) % cap
+            state['hist'][:, slots] = np.asarray(hist_seg)[:, length - keep:]
             i += length
             state['i'] = np.asarray(i)
             state['params'] = np.asarray(params)
