@@ -56,11 +56,19 @@ def _cmd_run(args):
                 learning_rate=cfg.learning_rate,
                 learning_rate_end=cfg.learning_rate_end)
         else:
+            progress = not args.quiet
+            if progress and jax.devices()[0].platform == 'axon':
+                # the tunneled remote-compile backend fails to lower the
+                # in-scan debug-callback progress path (libtpu AOT
+                # allocation-assignment bug); fall back to a silent run
+                print('note: in-scan progress reporting is unsupported on '
+                      'the tunneled TPU backend; running without it')
+                progress = False
             opt_param, _, values, _ = adagrad_optimize(
                 cfg.n_iters, objective, init, key=opt_key,
                 learning_rate=cfg.learning_rate,
                 learning_rate_end=cfg.learning_rate_end,
-                progress=not args.quiet)
+                progress=progress)
     else:
         optimizer = (rmsprop_IA_optimize_with_rhat
                      if cfg.optimizer == 'rmsprop_ia'
