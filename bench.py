@@ -115,14 +115,29 @@ def main():
         '(reference {}s); d2 = {:.3g}'.format(
             dt_draw, dt_bounds_host, dt_bound_total, BASE_BOUND_S,
             bounds['d2']))
-    # utilization estimate for the draw+score pass: bytes touched / time.
-    # dt_draw includes one dispatch-latency-floor hit (session-dependent,
-    # up to ~35 ms; see benchmarks/pallas_study.py) — the estimate is a
-    # lower bound on achieved bandwidth.
+    # utilization: pure device time for one draw+score pass from a
+    # profiler trace (wall clock is dominated by the session-dependent
+    # dispatch latency floor; see benchmarks/pallas_study.py)
     approx_bytes = N_BOUND * model.dim * 4 * 2 + N_BOUND * 4
     util_gbs = approx_bytes / dt_draw / 1e9
-    log('draw+score effective HBM traffic: >={:.0f} GB/s '
-        '(incl. dispatch floor)'.format(util_gbs))
+    device_s = None
+    try:
+        import tempfile
+        from viabel_tpu.utils import profile_trace, trace_device_time
+        trace_dir = tempfile.mkdtemp(prefix='viabel_bench_trace_')
+        with profile_trace(trace_dir):
+            jax.block_until_ready(bound_pass(0))
+        device_s = trace_device_time(trace_dir)
+    except Exception as e:  # tracing is best-effort
+        log('profiler trace unavailable: {}'.format(e))
+    if device_s:
+        log('draw+score pure device time (trace): {:.2f} ms of the '
+            '{:.0f} ms wall (rest is dispatch); dominated by the '
+            'rejection-free t-draw generation (benchmarks/'
+            'PALLAS_DECISION.md)'.format(device_s * 1e3, dt_draw * 1e3))
+    else:
+        log('draw+score effective HBM traffic: >={:.0f} GB/s '
+            '(incl. dispatch floor)'.format(util_gbs))
 
     # -- PSIS over the 2.5e6 log-weights --
     lw_dev = jnp.asarray(lw)
@@ -151,7 +166,10 @@ def main():
                 BASE_BOUND_S / dt_bound_total, 1),
             'psis_2p5e6_s': round(dt_psis, 4),
             'khat': round(khat, 3),
-            'draw_score_hbm_gb_per_s': round(util_gbs, 1),
+            'draw_score_device_ms': round(device_s * 1e3, 3)
+            if device_s else None,
+            'draw_score_output_gb_per_s': round(
+                approx_bytes / device_s / 1e9 if device_s else util_gbs, 1),
         },
     }))
 

@@ -1,4 +1,4 @@
 from .timers import Timer, format_seconds
-from .metrics import ThroughputMeter, profile_trace
+from .metrics import ThroughputMeter, profile_trace, trace_device_time
 
-__all__ = ['Timer', 'format_seconds', 'ThroughputMeter', 'profile_trace']
+__all__ = ['Timer', 'format_seconds', 'ThroughputMeter', 'profile_trace', 'trace_device_time']

@@ -11,7 +11,7 @@ from time import perf_counter
 
 import jax
 
-__all__ = ['profile_trace', 'ThroughputMeter']
+__all__ = ['profile_trace', 'ThroughputMeter', 'trace_device_time']
 
 
 @contextlib.contextmanager
@@ -66,3 +66,40 @@ class ThroughputMeter:
                     parts.append('{} = {:.4g}'.format(k, rec[k]))
             lines.append('{}: {}'.format(name, ', '.join(parts)))
         return '\n'.join(lines)
+
+
+def trace_device_time(log_dir):
+    """Total device-side XLA module execution time (seconds) in the most
+    recent `profile_trace` capture under `log_dir`.
+
+    Parses the Perfetto JSON the profiler writes and sums the durations on
+    the ``XLA Modules`` thread of each ``/device:*`` process — i.e. pure
+    on-device execution, excluding host Python, dispatch, and transfer
+    time.  This is the reliable utilization number in environments whose
+    dispatch latency dwarfs device time (see benchmarks/pallas_study.py).
+    Returns None if no trace is found.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+    paths = sorted(glob.glob(os.path.join(
+        log_dir, 'plugins', 'profile', '*', '*.trace.json.gz')))
+    if not paths:
+        return None
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    events = data.get('traceEvents', [])
+    device_pids = {
+        e['pid'] for e in events
+        if e.get('ph') == 'M' and e.get('name') == 'process_name'
+        and '/device:' in str(e.get('args', {}).get('name', ''))}
+    module_tracks = {
+        (e['pid'], e.get('tid')) for e in events
+        if e.get('ph') == 'M' and e.get('name') == 'thread_name'
+        and e['pid'] in device_pids
+        and e.get('args', {}).get('name') == 'XLA Modules'}
+    total_us = sum(e.get('dur', 0) for e in events
+                   if e.get('ph') == 'X'
+                   and (e.get('pid'), e.get('tid')) in module_tracks)
+    return total_us / 1e6
