@@ -174,3 +174,35 @@ def test_native_backend_in_full_vi_loop():
     assert np.all(np.isfinite(np.asarray(opt)))
     assert np.mean(np.asarray(values)[-20:]) < np.mean(
         np.asarray(values)[:20])
+
+
+def test_trace_device_time_parses_perfetto_json(tmp_path):
+    """trace_device_time sums only device-side XLA-module durations from a
+    profiler capture (host tracks and non-module threads excluded)."""
+    import gzip
+    import json
+    from viabel_tpu.utils import trace_device_time
+    events = [
+        {'ph': 'M', 'pid': 3, 'name': 'process_name',
+         'args': {'name': '/device:TPU:0'}},
+        {'ph': 'M', 'pid': 3, 'tid': 2, 'name': 'thread_name',
+         'args': {'name': 'XLA Modules'}},
+        {'ph': 'M', 'pid': 3, 'tid': 3, 'name': 'thread_name',
+         'args': {'name': 'XLA Ops'}},
+        {'ph': 'M', 'pid': 701, 'name': 'process_name',
+         'args': {'name': '/host:CPU'}},
+        {'ph': 'M', 'pid': 701, 'tid': 9, 'name': 'thread_name',
+         'args': {'name': 'XLA Modules'}},
+        # 2 module executions on device: 5 + 7 us
+        {'ph': 'X', 'pid': 3, 'tid': 2, 'name': 'jit_f', 'dur': 5.0},
+        {'ph': 'X', 'pid': 3, 'tid': 2, 'name': 'jit_g', 'dur': 7.0},
+        # op-level and host events must not be double counted
+        {'ph': 'X', 'pid': 3, 'tid': 3, 'name': 'fusion', 'dur': 4.0},
+        {'ph': 'X', 'pid': 701, 'tid': 9, 'name': 'host_mod', 'dur': 100.0},
+    ]
+    d = tmp_path / 'plugins' / 'profile' / 'run1'
+    d.mkdir(parents=True)
+    with gzip.open(str(d / 'vm.trace.json.gz'), 'wt') as f:
+        json.dump({'traceEvents': events}, f)
+    assert trace_device_time(str(tmp_path)) == 12.0 / 1e6
+    assert trace_device_time(str(tmp_path / 'nothing')) is None
