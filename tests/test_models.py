@@ -141,3 +141,23 @@ def test_callback_log_density_matches_native():
     g = jax.grad(f)(jnp.asarray(x))
     g_native = jax.grad(lambda z: jnp.mean(model.log_prob(z)))(jnp.asarray(x))
     np.testing.assert_allclose(g, g_native, rtol=1e-8)
+
+
+def test_native_robust_regression_matches_jax():
+    """The C++ robust-regression provider (native/regression.cpp) agrees
+    with the pure-JAX model on log densities and reparameterization-path
+    gradients (the Stan-bridge role; reference: viabel/vb.py:314-321)."""
+    import pytest
+    try:
+        from viabel_tpu.native import native_robust_regression_log_density
+        ld = native_robust_regression_log_density()
+    except RuntimeError as e:  # no toolchain in this environment
+        pytest.skip(str(e))
+    model = robust_regression_model()
+    b = jnp.asarray(np.random.RandomState(3).randn(9, 2))
+    np.testing.assert_allclose(np.asarray(ld(b)),
+                               np.asarray(model.log_prob(b)), rtol=1e-12)
+    g_native = jax.grad(lambda p: ld(p[None])[0])(b[0])
+    g_jax = jax.grad(lambda p: model.log_prob(p))(b[0])
+    np.testing.assert_allclose(np.asarray(g_native), np.asarray(g_jax),
+                               rtol=1e-10)

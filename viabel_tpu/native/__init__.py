@@ -19,9 +19,11 @@ import subprocess
 
 import numpy as np
 
-__all__ = ['build_native_library', 'native_eight_schools_cp_log_density']
+__all__ = ['build_native_library', 'native_eight_schools_cp_log_density',
+           'native_robust_regression_log_density']
 
-_SRC = os.path.join(os.path.dirname(__file__), 'eight_schools.cpp')
+_SRCS = [os.path.join(os.path.dirname(__file__), f)
+         for f in ('eight_schools.cpp', 'regression.cpp')]
 _LIB = os.path.join(os.path.dirname(__file__), 'libviabel_native.so')
 
 
@@ -29,24 +31,36 @@ def build_native_library(force=False):
     """Compile the native library with g++ (cached).  Returns the .so path
     or raises RuntimeError if no toolchain is available."""
     if os.path.exists(_LIB) and not force and \
-            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            all(os.path.getmtime(_LIB) >= os.path.getmtime(s)
+                for s in _SRCS):
         return _LIB
-    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', _SRC,
-           '-o', _LIB]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-    except (OSError, subprocess.CalledProcessError) as e:
-        raise RuntimeError('failed to build native library: {}'.format(e))
+    base = ['g++', '-O3', '-march=native', '-shared', '-fPIC'] + _SRCS + \
+        ['-o', _LIB]
+    try:  # OpenMP batch parallelism when the toolchain supports it
+        subprocess.run(base + ['-fopenmp'], check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        try:
+            subprocess.run(base, check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError) as e:
+            raise RuntimeError('failed to build native library: {}'
+                               .format(e))
     return _LIB
 
 
 def _load():
     lib = ctypes.CDLL(build_native_library())
     dp = ctypes.POINTER(ctypes.c_double)
+    i64, f64 = ctypes.c_int64, ctypes.c_double
     for name in ('es_cp_log_prob', 'es_cp_grad_log_prob'):
         fn = getattr(lib, name)
         fn.restype = None
-        fn.argtypes = [dp, ctypes.c_int64, ctypes.c_int64, dp, dp, dp]
+        fn.argtypes = [dp, i64, i64, dp, dp, dp]
+    lib.robust_reg_log_prob.restype = None
+    lib.robust_reg_log_prob.argtypes = [dp, i64, i64, i64, dp, dp, f64,
+                                        f64, f64, f64, dp]
+    lib.robust_reg_grad_log_prob.restype = None
+    lib.robust_reg_grad_log_prob.argtypes = [dp, i64, i64, i64, dp, dp,
+                                             f64, f64, f64, dp]
     return lib
 
 
@@ -82,4 +96,46 @@ def native_eight_schools_cp_log_density(y=None, sigma=None):
         return out
 
     return make_callback_log_density(log_prob, grad_log_prob, dim,
+                                     batched=True)
+
+
+def native_robust_regression_log_density(x=None, y=None, df=40.0,
+                                         noise_scale=1.0, prior_std=10.0):
+    """JAX-differentiable robust-regression log density backed by the C++
+    library (reference: notebooks/robust-regression.ipynb cell 3 Stan
+    program via viabel/vb.py:314-321).  Defaults to the notebook's
+    seed-5039 data."""
+    from scipy.special import gammaln
+
+    from ..models import make_callback_log_density
+    from ..models.regression import robust_regression_notebook_data
+    if x is None:
+        x, y = robust_regression_notebook_data()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    N, D = x.shape
+    lognorm = float(gammaln(0.5 * (df + 1.0)) - gammaln(0.5 * df)
+                    - 0.5 * np.log(df * np.pi))
+    lib = _load()
+    dp = ctypes.POINTER(ctypes.c_double)
+    x_p = x.ctypes.data_as(dp)
+    y_p = y.ctypes.data_as(dp)
+
+    def log_prob(b):
+        b = np.ascontiguousarray(b, dtype=np.float64).reshape(-1, D)
+        out = np.empty(b.shape[0], dtype=np.float64)
+        lib.robust_reg_log_prob(b.ctypes.data_as(dp), b.shape[0], N, D,
+                                x_p, y_p, df, noise_scale, prior_std,
+                                lognorm, out.ctypes.data_as(dp))
+        return out
+
+    def grad_log_prob(b):
+        b = np.ascontiguousarray(b, dtype=np.float64).reshape(-1, D)
+        out = np.empty_like(b)
+        lib.robust_reg_grad_log_prob(b.ctypes.data_as(dp), b.shape[0], N,
+                                     D, x_p, y_p, df, noise_scale,
+                                     prior_std, out.ctypes.data_as(dp))
+        return out
+
+    return make_callback_log_density(log_prob, grad_log_prob, D,
                                      batched=True)
