@@ -37,22 +37,19 @@ def main():
 
     print('== eight-schools (NCP sampled, 8 chains x 50k) ==')
     m = eight_schools_ncp_model()
-    # one HMC run; NCP moments from the raw draws, CP moments from the
-    # same draws transformed (reference: eight-schools.ipynb cell 14)
-    from viabel_tpu.mcmc import hmc_sample
-    out_hmc = hmc_sample(m.log_prob, np.zeros(m.dim),
-                         key=jax.random.PRNGKey(2), n_samples=50000,
-                         n_warmup=2000, n_chains=8)
-    rhat = out_hmc['r_hat'].max()
-    assert rhat < 1.01, 'HMC not converged: {}'.format(rhat)
-    ncp_flat = out_hmc['samples'].reshape(-1, m.dim)
-    cp_flat = np.asarray(eight_schools_ncp_to_cp(ncp_flat))
-    ncp = dict(mean=ncp_flat.mean(axis=0), cov=np.cov(ncp_flat.T))
-    cp = dict(mean=cp_flat.mean(axis=0), cov=np.cov(cp_flat.T))
+    # one R-hat-gated HMC run; CP moments from the transformed draws
+    # (reference: eight-schools.ipynb cell 14), NCP moments from the same
+    # run's raw-draw diagnostics
+    cp = hmc_ground_truth(m, key=jax.random.PRNGKey(2), n_samples=50000,
+                          n_warmup=2000, n_chains=8,
+                          transform=eight_schools_ncp_to_cp)
+    ncp = dict(mean=cp['diagnostics']['mean'],
+               cov=cp['diagnostics']['cov'])
     print('CP  mean:', cp['mean'])
     print('CP  std :', np.sqrt(np.diag(cp['cov'])))
     print('NCP mean:', ncp['mean'])
-    print('max split R-hat: {:.4f}'.format(rhat))
+    print('max split R-hat: {:.4f}'.format(
+        cp['diagnostics']['r_hat'].max()))
 
     out = os.path.join(os.path.dirname(__file__), '..', 'viabel_tpu',
                        'models', '_ground_truth.npz')

@@ -346,3 +346,23 @@ def test_many_distinct_objectives_warns():
     msgs = [str(w.message) for w in caught]
     assert any('recompile' in m for m in msgs)
     assert sum('recompile' in m for m in msgs) == 1  # one-time
+
+
+def test_ia_segmented_history_cap_with_long_segments(tmp_path):
+    """Segments longer than the history cap (save_every > 100*window) keep
+    exactly the last `cap` iterates, matching the single-scan ring buffer
+    (regression test: the ring write previously relied on numpy's
+    unspecified duplicate-fancy-index assignment order)."""
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    kw = dict(key=jax.random.PRNGKey(13), n_optimisers=2, rhat_window=50,
+              tail_avg_iters=50, window=1)   # cap = 100 < save_every
+    fast = rmsprop_IA_optimize_with_rhat(350, obj, init, model.dim, **kw)
+    seg = rmsprop_IA_optimize_with_rhat(
+        350, obj, init, model.dim, checkpoint_path=str(tmp_path / 'c.npz'),
+        save_every=250, **kw)
+    assert fast[1].shape == (2, 100, fam.var_param_dim)
+    np.testing.assert_array_equal(seg[1], fast[1])
+    np.testing.assert_array_equal(seg[0], fast[0])
