@@ -12,6 +12,9 @@ notebooks/eight-schools.ipynb cell 16 on the author's laptop):
   (reference 25.4 s via per-sample Stan C++ calls).
 * PSIS — `psislw` over the 2.5e6 log-weights (tail fit + smoothing;
   part of the reference's 36.0 s CHIVI bound pass).
+* Fused pipeline — the complete validated-VI workflow (10k-iter KLVI +
+  2.5e6-sample bound pass + PSIS + corrected moments) as ONE compiled
+  program (`validated_vi`); the reference spends ~61 s on the same work.
 
 Every configuration is compiled once and timed at steady state (min of 3).
 The single JSON line carries the headline metric in the driver schema plus
@@ -142,6 +145,24 @@ def main():
             'rejection-free t-draw generation (benchmarks/'
             'PALLAS_DECISION.md)'.format(device_s * 1e3, dt_draw * 1e3))
 
+    # -- fused single-dispatch pipeline: the full validated-VI workflow
+    # (10k-iter KLVI + 2.5e6-sample bound pass + PSIS + corrected moments)
+    # as ONE compiled program (viabel_tpu.pipeline.validated_vi).  The
+    # reference needs ~61 s for the same work (36 s optimization at 278
+    # it/s + 25.4 s Stan-backed bound estimation; eight-schools.ipynb
+    # cell 16); the multi-call path here pays ~3-4 dispatch floors.
+    from viabel_tpu import validated_vi
+
+    def fused(r):
+        out = validated_vi(model.log_prob, fam, init, 2 * N_ITERS,
+                           objective_and_grad=klvi, n_bound_samples=N_BOUND,
+                           key=jax.random.PRNGKey(300 + r),
+                           learning_rate=.01, learning_rate_end=.001)
+        return out['smoothed_log_weights']
+    dt_fused = steady_state(fused)
+    log('fused pipeline (10k KLVI + 2.5e6 bounds + PSIS, one dispatch): '
+        '{:.3f}s (reference ~61s multi-stage)'.format(dt_fused))
+
     # -- PSIS over the 2.5e6 log-weights --
     lw_dev = jnp.asarray(lw)
     jax.block_until_ready(psislw(lw_dev)[0])
@@ -169,6 +190,11 @@ def main():
                 BASE_BOUND_S / dt_bound_total, 1),
             'psis_2p5e6_s': round(dt_psis, 4),
             'khat': round(khat, 3),
+            # full workflow (10k KLVI + 2.5e6-sample bounds + PSIS +
+            # corrected moments) in ONE compiled program; reference does
+            # the same work in ~61 s (36 s opt + 25.4 s bound pass)
+            'fused_pipeline_s': round(dt_fused, 4),
+            'fused_pipeline_vs_baseline_speedup': round(61.4 / dt_fused, 1),
             # distinct keys for incomparable semantics: device time (from
             # the trace, absent if tracing failed) vs wall clock (always
             # present, includes the dispatch floor)

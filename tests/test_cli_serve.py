@@ -51,6 +51,16 @@ def test_cli_run_smoke(capsys):
     assert 'khat' in out
 
 
+def test_cli_run_fused(capsys):
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '200', '--n-mc', '10',
+          '--bound-samples', '5000', '--fused'])
+    out = capsys.readouterr().out
+    assert 'posterior mean estimate' in out
+    assert 'khat' in out
+    assert 'PSIS-corrected mean' in out
+
+
 def test_cli_run_ia_optimizer(capsys):
     from viabel_tpu.__main__ import main
     main(['run', '--model', 'linear_regression', '--family',

@@ -34,6 +34,7 @@ from .diagnostics import (compute_posterior_moments, compute_R_hat,
                           compute_R_hat_adaptive, compute_R_hat_halfway,
                           stochastic_iterate_averaging)
 from .mcmc import hmc_ground_truth, hmc_sample
+from .pipeline import validated_vi
 from .transforms import (ParameterTransforms, identity_transform,
                          interval_transform, lower_bounded_transform,
                          positive_transform)
@@ -66,6 +67,8 @@ __all__ = [
     # in-repo MCMC ground truth (replaces the reference's external Stan NUTS
     # anchors; notebooks/eight-schools.ipynb cells 10-16)
     'hmc_sample', 'hmc_ground_truth',
+    # single-dispatch fused pipeline (TPU-native; no reference counterpart)
+    'validated_vi',
     # constrained-parameter transforms (the Stan unconstraining layer)
     'ParameterTransforms', 'identity_transform', 'positive_transform',
     'lower_bounded_transform', 'interval_transform',

@@ -47,6 +47,34 @@ def _cmd_run(args):
     opt_key, bound_key, psis_key = jax.random.split(key, 3)
     init = family.init_param()
 
+    if getattr(args, 'fused', False):
+        # the whole workflow as one compiled device program
+        if cfg.optimizer != 'adagrad':
+            sys.exit('--fused supports the adagrad optimizer only')
+        from .pipeline import validated_vi
+        out = validated_vi(
+            model.log_prob, family, init, cfg.n_iters,
+            objective_and_grad=objective,
+            n_bound_samples=cfg.bound_samples or 1000000, key=opt_key,
+            learning_rate=cfg.learning_rate,
+            learning_rate_end=cfg.learning_rate_end)
+        values = np.asarray(out['value_history'])
+        print('final loss (tail mean): {:.6g}'.format(
+            float(values[-max(len(values) // 10, 1):].mean())))
+        print('posterior mean estimate:',
+              np.round(np.asarray(out['q_mean']), 4))
+        if model.true_mean is not None:
+            check_approx_accuracy(family, out['opt_param'],
+                                  model.true_mean, model.true_cov,
+                                  verbose=True)
+        print_bounds(out['bounds'])
+        khat = out['khat']
+        print('khat = {:.3f}{}'.format(
+            khat, '  (> 0.7: unreliable)' if khat > 0.7 else ''))
+        print('PSIS-corrected mean:',
+              np.round(np.asarray(out['psis_mean']), 4))
+        return
+
     if cfg.optimizer == 'adagrad':
         if cfg.checkpoint_path:
             from .checkpoint import adagrad_optimize_resumable
@@ -151,6 +179,9 @@ def main(argv=None):
     pr.add_argument('--bound-samples', dest='bound_samples', type=int)
     pr.add_argument('--checkpoint-path', dest='checkpoint_path')
     pr.add_argument('--quiet', action='store_true')
+    pr.add_argument('--fused', action='store_true',
+                    help='run the whole workflow (optimize + bounds + PSIS)'
+                         ' as one compiled device program (validated_vi)')
     pr.set_defaults(fn=_cmd_run)
 
     pb = sub.add_parser('bench', help='run the throughput benchmark')
