@@ -40,6 +40,28 @@ def _default_objective(var_family, log_density, n_mc_samples):
                           presampled=presampled)
 
 
+# order of the scalar pack fetched to the host in ONE transfer (each
+# individual device->host scalar fetch pays the tunnel's dispatch-latency
+# floor; see CLAUDE.md / benchmarks/pallas_study.py)
+_PACK_FIELDS = ('log_rescale', 'mean_rescaled_alpha', 'std_rescaled_alpha',
+                'mean_lw', 'std_lw')
+
+
+def _pack_host_scalars(stats, moments, khat, q_cov):
+    scalars = jnp.stack([stats[f] for f in _PACK_FIELDS]
+                        + [moments[2], moments[4], khat])
+    return jnp.concatenate([scalars, jnp.ravel(q_cov).astype(scalars.dtype)])
+
+
+def _unpack_host_scalars(pack, n, dim):
+    pack = np.asarray(pack)
+    head = [float(v) for v in pack[:8]]
+    stats = dict(zip(_PACK_FIELDS, head[:5]), n=n)
+    moments = {2: head[5], 4: head[6]}
+    q_cov = pack[8:].reshape(dim, dim)
+    return stats, moments, head[7], q_cov
+
+
 @partial(jax.jit, static_argnames=(
     'obj', 'var_family', 'log_density', 'n_iters', 'n_bound_samples',
     'window', 'learning_rate', 'epsilon', 'learning_rate_end', 'alpha',
@@ -76,10 +98,11 @@ def _pipeline_run(obj, var_family, log_density, n_iters, n_bound_samples,
     psis_cov = (w[:, None] * c).T @ c
 
     return dict(opt_param=opt_param, value_history=values,
-                log_norm_history=log_norms, stats=stats, q_mean=q_mean,
-                q_cov=q_cov, moments=moments, log_weights=lw,
+                log_norm_history=log_norms, q_mean=q_mean,
+                q_cov=q_cov, log_weights=lw,
                 smoothed_log_weights=slw, khat=khat, psis_mean=psis_mean,
-                psis_cov=psis_cov)
+                psis_cov=psis_cov,
+                host_pack=_pack_host_scalars(stats, moments, khat, q_cov))
 
 
 @partial(jax.jit, static_argnames=(
@@ -126,10 +149,11 @@ def _pipeline_run_sharded(obj, var_family, log_density, n_iters,
     moments = {2: var_family.pth_moment(opt_param, 2),
                4: var_family.pth_moment(opt_param, 4)}
     return dict(opt_param=opt_param, value_history=values,
-                log_norm_history=log_norms, stats=stats, q_mean=q_mean,
-                q_cov=q_cov, moments=moments, log_weights=lw,
+                log_norm_history=log_norms, q_mean=q_mean,
+                q_cov=q_cov, log_weights=lw,
                 smoothed_log_weights=slw, khat=khat, psis_mean=psis_mean,
-                psis_cov=psis_cov)
+                psis_cov=psis_cov,
+                host_pack=_pack_host_scalars(stats, moments, khat, q_cov))
 
 
 def validated_vi(log_density, var_family, init_param, n_iters, *,
@@ -193,9 +217,10 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
                             learning_rate_end, alpha, unroll, tail_len,
                             init_param, key)
 
-    # host: scalar bound assembly from the already-reduced statistics
-    stats = dict(out.pop('stats'), n=n_bound_samples)
-    moments = {p: float(v) for p, v in out.pop('moments').items()}
+    # host: scalar bound assembly from the already-reduced statistics,
+    # fetched in a single device->host transfer
+    stats, moments, khat, q_cov = _unpack_host_scalars(
+        out.pop('host_pack'), n_bound_samples, var_family.dim)
     d2, log_norm_bound = divergence_bound(
         None, alpha=alpha, log_norm_bound=log_norm_bound,
         return_log_norm_bound=True, _stats=stats)
@@ -204,10 +229,9 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
         # Wasserstein / moment-error bounds are 2-divergence bounds only
         # (see `all_bounds`); for other orders just the divergence is valid
         bounds = wasserstein_bounds(d2, moment_bound_fn=moments.get)
-        bounds.update(error_bounds(q_var=np.asarray(out['q_cov']),
-                                   **bounds))
+        bounds.update(error_bounds(q_var=q_cov, **bounds))
     bounds['d2' if alpha == 2 else 'dalpha'] = d2
     bounds['log_norm_bound'] = log_norm_bound
     out['bounds'] = bounds
-    out['khat'] = float(out['khat'])
+    out['khat'] = khat
     return out
