@@ -78,3 +78,19 @@ def test_chivi_experiments_example():
             # deliberately bad CHIVI inits at smoke-test sizes
             assert not np.isnan(stage['khat'])
             assert np.isfinite(stage['mean_err'])
+
+
+def test_multistart_pipeline_example(capsys):
+    from examples import multistart_pipeline
+    out = multistart_pipeline.main(full=False, n_iters=5000,
+                                   mc_samples=20000, n_starts=3)
+    text = capsys.readouterr().out
+    assert 'best by validated d2' in text
+    assert 'PSIS-corrected mean' in text
+    best = out['best']
+    assert np.isfinite(out['bounds'][best]['d2'])
+    # the winning start's corrected mean lands near the NUTS truth
+    from viabel_tpu.models import robust_regression_model
+    np.testing.assert_allclose(np.asarray(out['psis_mean'][best]),
+                               robust_regression_model().true_mean,
+                               atol=0.25)

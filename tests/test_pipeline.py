@@ -156,6 +156,81 @@ def test_mesh_path_matches_composed_sharded_path():
     assert len(out['log_weights'].sharding.device_set) == 8
 
 
+def test_multistart_matches_independent_runs():
+    from viabel_tpu import validated_vi_multistart
+    from viabel_tpu.optimizers import _perturbed_inits
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 50)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    key = jax.random.PRNGKey(21)
+    K = 3
+
+    out = validated_vi_multistart(model.log_prob, fam, init, N_ITERS,
+                                  n_starts=K, objective_and_grad=obj,
+                                  n_bound_samples=N_BOUND, key=key)
+    assert out['opt_param'].shape == (K, fam.var_param_dim)
+    assert len(out['bounds']) == K and len(out['khat']) == K
+
+    # each start must equal an independent validated_vi run with the same
+    # derived (init, key) pair
+    perturb_key, run_key = jax.random.split(key)
+    inits = _perturbed_inits(init, K, 0.5, perturb_key)
+    for k in range(K):
+        single = validated_vi(model.log_prob, fam, inits[k], N_ITERS,
+                              objective_and_grad=obj,
+                              n_bound_samples=N_BOUND,
+                              key=jax.random.fold_in(run_key, k))
+        np.testing.assert_allclose(out['opt_param'][k],
+                                   single['opt_param'], rtol=1e-12)
+        assert out['khat'][k] == pytest.approx(single['khat'], rel=1e-10)
+        for name in ('d2', 'W2', 'log_norm_bound'):
+            assert out['bounds'][k][name] == pytest.approx(
+                single['bounds'][name], rel=1e-8), name
+    # start 0 is the unperturbed init
+    np.testing.assert_array_equal(inits[0], init)
+    # best = smallest validated 2-divergence bound
+    assert out['best'] == int(np.argmin([b['d2'] for b in out['bounds']]))
+
+
+def test_multistart_explicit_init_params():
+    from viabel_tpu import validated_vi_multistart
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    inits = jnp.stack([jnp.zeros(fam.var_param_dim),
+                       jnp.full((fam.var_param_dim,), 0.3)]).astype(
+                           jnp.float64)
+    out = validated_vi_multistart(model.log_prob, fam, inits[0], 100,
+                                  init_params=inits,
+                                  objective_and_grad=obj,
+                                  n_bound_samples=4000,
+                                  key=jax.random.PRNGKey(5))
+    assert out['opt_param'].shape == (2, fam.var_param_dim)
+    assert out['best'] in (0, 1)
+
+
+def test_diverged_start_degrades_to_inf_bounds():
+    """A non-finite pack (diverged optimizer start) must yield inf bounds,
+    not an SVD crash, and must never be selected as `best`
+    (regression: numpy's spectral norm raises LinAlgError on nan/inf)."""
+    from viabel_tpu.pipeline import _assemble_bounds
+    d = 3
+    bad = np.full(8 + d * d, np.nan)
+    b, khat = _assemble_bounds(bad, 1000, d, 2.0, None)
+    assert b['d2'] == np.inf
+    assert b['W2'] == np.inf and b['cov_error'] == np.inf
+    assert np.isnan(khat)
+
+    # finite stats but non-finite covariance: bounds from stats survive,
+    # cov_error degrades
+    pack = np.concatenate([np.array([0.0, 1.0, 0.1, -1.0, 0.5, 4.0, 48.0,
+                                     0.6]), np.full(d * d, np.inf)])
+    b2, _ = _assemble_bounds(pack, 1000, d, 2.0, None)
+    assert np.isfinite(b2['d2']) and np.isfinite(b2['W2'])
+    assert b2['cov_error'] == np.inf
+
+
 def test_alpha_not_2_reports_dalpha_only():
     model = funnel_model()
     fam = mean_field_gaussian_variational_family(model.dim)

@@ -26,7 +26,7 @@ from .objectives import black_box_klvi
 from .optimizers import _adagrad_run, _wrap_objective
 from .psis import _psislw_1d, _tail_len
 
-__all__ = ['validated_vi']
+__all__ = ['validated_vi', 'validated_vi_multistart']
 
 
 @lru_cache(maxsize=256)
@@ -62,19 +62,17 @@ def _unpack_host_scalars(pack, n, dim):
     return stats, moments, head[7], q_cov
 
 
-@partial(jax.jit, static_argnames=(
-    'obj', 'var_family', 'log_density', 'n_iters', 'n_bound_samples',
-    'window', 'learning_rate', 'epsilon', 'learning_rate_end', 'alpha',
-    'unroll', 'tail_len'))
-def _pipeline_run(obj, var_family, log_density, n_iters, n_bound_samples,
-                  window, learning_rate, epsilon, learning_rate_end,
-                  alpha, unroll, tail_len, init_param, key):
-    """The one compiled program: optimize -> draw -> score -> stats -> PSIS.
+def _pipeline_core(obj, var_family, log_density, n_iters, n_bound_samples,
+                   window, learning_rate, epsilon, learning_rate_end,
+                   alpha, unroll, tail_len, init_param, key):
+    """The fused program body: optimize -> draw -> score -> stats -> PSIS.
 
     Covers the same work as `adagrad_optimize` +
     `experiments.get_samples_and_log_weights` + `bounds.log_weight_stats` +
     `psis.psislw` + `experiments.improve_with_psis`'s weighted moments
     (reference: notebooks/experiments.py:138-180), fused end to end.
+    Untraced; jitted by `_pipeline_run` (one start) and vmapped+jitted by
+    `_multistart_runner` (a batch of starts in one program).
     """
     opt_key, draw_key = jax.random.split(key)
     values, log_norms, params = _adagrad_run(
@@ -103,6 +101,27 @@ def _pipeline_run(obj, var_family, log_density, n_iters, n_bound_samples,
                 smoothed_log_weights=slw, khat=khat, psis_mean=psis_mean,
                 psis_cov=psis_cov,
                 host_pack=_pack_host_scalars(stats, moments, khat, q_cov))
+
+
+_pipeline_run = partial(jax.jit, static_argnames=(
+    'obj', 'var_family', 'log_density', 'n_iters', 'n_bound_samples',
+    'window', 'learning_rate', 'epsilon', 'learning_rate_end', 'alpha',
+    'unroll', 'tail_len'))(_pipeline_core)
+
+
+@lru_cache(maxsize=256)
+def _multistart_runner(obj, var_family, log_density, n_iters,
+                       n_bound_samples, window, learning_rate, epsilon,
+                       learning_rate_end, alpha, unroll, tail_len):
+    """Compiled batch-of-starts program: `_pipeline_core` vmapped over the
+    (init_param, key) start axis.  Cached per static configuration so
+    repeated sweeps reuse the executable."""
+    def run_one(init_param, key):
+        return _pipeline_core(obj, var_family, log_density, n_iters,
+                              n_bound_samples, window, learning_rate,
+                              epsilon, learning_rate_end, alpha, unroll,
+                              tail_len, init_param, key)
+    return jax.jit(jax.vmap(run_one))
 
 
 @partial(jax.jit, static_argnames=(
@@ -219,19 +238,108 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
 
     # host: scalar bound assembly from the already-reduced statistics,
     # fetched in a single device->host transfer
-    stats, moments, khat, q_cov = _unpack_host_scalars(
-        out.pop('host_pack'), n_bound_samples, var_family.dim)
+    bounds, khat = _assemble_bounds(out.pop('host_pack'), n_bound_samples,
+                                    var_family.dim, alpha, log_norm_bound)
+    out['bounds'] = bounds
+    out['khat'] = khat
+    return out
+
+
+def _assemble_bounds(host_pack, n, dim, alpha, log_norm_bound):
+    """Host-side `all_bounds`-equivalent assembly from one packed fetch.
+
+    A diverged run (non-finite statistics or covariance — possible for a
+    badly perturbed multistart init) degrades to infinite bounds instead of
+    raising (numpy's spectral-norm SVD does not converge on non-finite
+    matrices)."""
+    stats, moments, khat, q_cov = _unpack_host_scalars(host_pack, n, dim)
+    if not np.all(np.isfinite(q_cov)):
+        q_cov = np.inf
+    finite_stats = all(np.isfinite(v) for k_, v in stats.items()
+                       if k_ != 'n')
     d2, log_norm_bound = divergence_bound(
         None, alpha=alpha, log_norm_bound=log_norm_bound,
-        return_log_norm_bound=True, _stats=stats)
+        return_log_norm_bound=True, _stats=stats) if finite_stats \
+        else (np.inf, log_norm_bound if log_norm_bound is not None
+              else -np.inf)
     bounds = {}
     if alpha == 2:
         # Wasserstein / moment-error bounds are 2-divergence bounds only
         # (see `all_bounds`); for other orders just the divergence is valid
-        bounds = wasserstein_bounds(d2, moment_bound_fn=moments.get)
+        moment_fn = (moments.get if all(np.isfinite(v) for v in
+                                        moments.values())
+                     else lambda p: np.inf)
+        bounds = wasserstein_bounds(np.inf if not np.isfinite(d2) else d2,
+                                    moment_bound_fn=moment_fn)
         bounds.update(error_bounds(q_var=q_cov, **bounds))
     bounds['d2' if alpha == 2 else 'dalpha'] = d2
     bounds['log_norm_bound'] = log_norm_bound
+    return bounds, khat
+
+
+def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
+                            n_starts=4, perturb_scale=0.5, init_params=None,
+                            objective_and_grad=None, n_mc_samples=100,
+                            n_bound_samples=1000000, alpha=2.0, key=None,
+                            has_log_norm=None, window=10, learning_rate=0.01,
+                            epsilon=0.1, learning_rate_end=None, unroll=4,
+                            log_norm_bound=None):
+    """K independent validated-VI runs batched into ONE compiled program.
+
+    The reference runs multi-start optimization as a sequential Python loop
+    (reference: viabel/vb.py:417, 582); here the starts are `vmap`-ed over
+    the batch axis, so K complete pipelines (optimize + bounds + PSIS) cost
+    roughly one pipeline's wall-clock on a chip with headroom.  Start 0
+    uses `init_param` unperturbed; start o >= 1 uses ``init + N(0,1) *
+    (o+1) * perturb_scale`` (the reference's perturbation scheme,
+    viabel/vb.py:417-421), unless explicit `init_params` (K, P) are given.
+
+    `n_bound_samples` is per start: device memory scales with
+    ``n_starts * n_bound_samples``.
+
+    Returns
+    -------
+    dict like `validated_vi`'s but with a leading start axis on every
+    array, ``bounds`` a list of K dicts, ``khat`` a list of K floats, and
+    ``best`` the index of the start with the smallest validated
+    2-divergence bound (ties to the lowest index).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if objective_and_grad is None:
+        objective_and_grad = _default_objective(var_family, log_density,
+                                                n_mc_samples)
+    obj = _wrap_objective(objective_and_grad, has_log_norm)
+    init_param = jnp.asarray(init_param)
+    perturb_key, run_key = jax.random.split(key)
+    if init_params is None:
+        from .optimizers import _perturbed_inits
+        init_params = _perturbed_inits(init_param, n_starts, perturb_scale,
+                                       perturb_key)
+    else:
+        init_params = jnp.asarray(init_params)
+        n_starts = init_params.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(run_key, i))(
+        jnp.arange(n_starts))
+    tail_len = _tail_len(n_bound_samples, 1.0)
+    runner = _multistart_runner(obj, var_family, log_density, n_iters,
+                                n_bound_samples, window, learning_rate,
+                                epsilon, learning_rate_end, alpha, unroll,
+                                tail_len)
+    out = runner(init_params, keys)
+    packs = np.asarray(out.pop('host_pack'))
+    bounds, khats = [], []
+    for k in range(n_starts):
+        b, kh = _assemble_bounds(packs[k], n_bound_samples, var_family.dim,
+                                 alpha, log_norm_bound)
+        bounds.append(b)
+        khats.append(kh)
+    d_key = 'd2' if alpha == 2 else 'dalpha'
     out['bounds'] = bounds
-    out['khat'] = khat
+    out['khat'] = khats
+    # smallest validated divergence bound wins; diverged starts (non-finite
+    # d) never win; all-diverged falls back to start 0
+    d_vals = np.asarray([b[d_key] for b in bounds])
+    d_vals = np.where(np.isfinite(d_vals), d_vals, np.inf)
+    out['best'] = int(np.argmin(d_vals))
     return out
