@@ -45,6 +45,8 @@ BASE_CHIVI_IT_S = 48.41      # reference laptop it/s, eight-schools CP CHIVI
 BASE_BOUND_S = 25.4          # reference 2.5e6-sample bound pass, seconds
 N_MC_KLVI, N_MC_CHIVI = 100, 500
 N_ITERS = 5000
+# reference cost of the fused-pipeline workload (10k iters + bound pass)
+BASE_PIPELINE_S = 2 * N_ITERS / BASE_KLVI_IT_S + BASE_BOUND_S
 N_BOUND = 2500000
 
 
@@ -194,7 +196,8 @@ def main():
             # corrected moments) in ONE compiled program; reference does
             # the same work in ~61 s (36 s opt + 25.4 s bound pass)
             'fused_pipeline_s': round(dt_fused, 4),
-            'fused_pipeline_vs_baseline_speedup': round(61.4 / dt_fused, 1),
+            'fused_pipeline_vs_baseline_speedup': round(
+                BASE_PIPELINE_S / dt_fused, 1),
             # distinct keys for incomparable semantics: device time (from
             # the trace, absent if tracing failed) vs wall clock (always
             # present, includes the dispatch floor)

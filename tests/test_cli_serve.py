@@ -61,6 +61,16 @@ def test_cli_run_fused(capsys):
     assert 'PSIS-corrected mean' in out
 
 
+def test_cli_run_fused_rejects_unsupported_flags():
+    from viabel_tpu.__main__ import main
+    with pytest.raises(SystemExit, match='bound-samples'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--bound-samples', '0', '--fused'])
+    with pytest.raises(SystemExit, match='checkpoint'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--checkpoint-path', '/tmp/x.npz', '--fused'])
+
+
 def test_cli_run_ia_optimizer(capsys):
     from viabel_tpu.__main__ import main
     main(['run', '--model', 'linear_regression', '--family',
@@ -108,7 +118,7 @@ def test_posterior_service_endpoints():
     lp = service.log_prob([[0.0, 0.0]])
     assert np.isfinite(lp).all()
     b = service.bounds(20000)
-    assert 'W2' in b and 'd2' in b
+    assert 'W2' in b and 'd2' in b and 'khat' in b
 
     # HTTP surface
     httpd, t = start_server(service, port=0)
@@ -128,6 +138,24 @@ def test_posterior_service_endpoints():
             headers={'Content-Type': 'application/json'})
         lp = json.loads(urllib.request.urlopen(req).read())
         assert np.isfinite(lp['log_prob']).all()
+        # server-side fused re-fit: runs validated_vi and swaps in the fit
+        req = urllib.request.Request(
+            base + '/fit',
+            data=json.dumps({'n_iters': 500, 'n_mc_samples': 50,
+                             'n_bound_samples': 20000}).encode(),
+            headers={'Content-Type': 'application/json'})
+        fit = json.loads(urllib.request.urlopen(req).read())
+        assert 'khat' in fit and 'd2' in fit['bounds']
+        assert np.isfinite(fit['bounds']['d2'])
+        # the served posterior now reflects the new fit
+        assert not np.allclose(service.moments()['cov'], m['cov'])
+        np.testing.assert_allclose(service.moments()['mean'], fit['mean'])
+        bad_fit = urllib.request.Request(
+            base + '/fit', data=json.dumps({'bogus': 1}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad_fit)
+        assert e.value.code == 400
         # error paths
         bad = urllib.request.Request(
             base + '/log_prob', data=b'{}',

@@ -210,6 +210,55 @@ def test_multistart_explicit_init_params():
     assert out['best'] in (0, 1)
 
 
+def test_low_df_t_family_uses_empirical_moments():
+    """A t family with 2 < df <= 4 has no closed-form 4th moment; the
+    pipeline must fall back to empirical central moments (as `all_bounds`
+    does with raw samples) instead of crashing at trace time."""
+    model = robust_regression_model()
+    fam = mean_field_t_variational_family(model.dim, 4)
+    obj = black_box_klvi(fam, model.log_prob, 50)
+    init = jnp.concatenate([jnp.asarray(model.true_mean, dtype=jnp.float64),
+                            jnp.zeros(model.dim, dtype=jnp.float64)])
+    key = jax.random.PRNGKey(9)
+    out = validated_vi(model.log_prob, fam, init, N_ITERS,
+                       objective_and_grad=obj, n_bound_samples=N_BOUND,
+                       key=key)
+    assert np.isfinite(out['bounds']['W2'])
+
+    # must match composing all_bounds with the same samples' empirical
+    # moments
+    opt_key, draw_key = jax.random.split(key)
+    opt, _, _, _ = adagrad_optimize(N_ITERS, obj, init, key=opt_key)
+    samples = fam.sample(draw_key, opt, N_BOUND)
+    lw = model.log_prob(samples) - fam.log_prob(opt, samples)
+    ref = all_bounds(np.asarray(lw), samples=np.asarray(samples))
+    for name in ('d2', 'W1', 'W2'):
+        assert out['bounds'][name] == pytest.approx(ref[name],
+                                                    rel=1e-8), name
+
+    # sharded path takes the same fallback via psum-reduced moments
+    from viabel_tpu.parallel import make_mesh
+    mesh = make_mesh(axis_names=('sample',), shape=(8,))
+    out_sh = validated_vi(model.log_prob, fam, init, N_ITERS,
+                          objective_and_grad=obj, n_bound_samples=N_BOUND,
+                          key=key, mesh=mesh)
+    assert np.isfinite(out_sh['bounds']['W2'])
+
+
+def test_model_instance_accepted_as_log_density():
+    """Models are NamedTuples holding numpy arrays (unhashable), but are
+    natural to pass as the density; the pipeline must unwrap `.log_prob`
+    like `get_samples_and_log_weights` does."""
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    out = validated_vi(model, fam, init, 200, n_mc_samples=20,
+                       n_bound_samples=5000, key=jax.random.PRNGKey(2))
+    ref = validated_vi(model.log_prob, fam, init, 200, n_mc_samples=20,
+                       n_bound_samples=5000, key=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(out['opt_param'], ref['opt_param'])
+
+
 def test_diverged_start_degrades_to_inf_bounds():
     """A non-finite pack (diverged optimizer start) must yield inf bounds,
     not an SVD crash, and must never be selected as `best`

@@ -51,11 +51,19 @@ def _cmd_run(args):
         # the whole workflow as one compiled device program
         if cfg.optimizer != 'adagrad':
             sys.exit('--fused supports the adagrad optimizer only')
+        if not cfg.bound_samples:
+            sys.exit('--fused runs the bound stage inside the fused '
+                     'program; --bound-samples must be > 0 (drop --fused '
+                     'for an optimization-only run)')
+        if cfg.checkpoint_path:
+            sys.exit('--fused does not support --checkpoint-path (the '
+                     'fused program is a single device call; use the '
+                     'non-fused path for resumable runs)')
         from .pipeline import validated_vi
         out = validated_vi(
             model.log_prob, family, init, cfg.n_iters,
             objective_and_grad=objective,
-            n_bound_samples=cfg.bound_samples or 1000000, key=opt_key,
+            n_bound_samples=cfg.bound_samples, key=opt_key,
             learning_rate=cfg.learning_rate,
             learning_rate_end=cfg.learning_rate_end)
         values = np.asarray(out['value_history'])

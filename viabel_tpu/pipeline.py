@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bounds import (divergence_bound, error_bounds, log_weight_stats,
-                     wasserstein_bounds)
+from .bounds import (central_moments, divergence_bound, error_bounds,
+                     log_weight_stats, wasserstein_bounds)
 from .objectives import black_box_klvi
 from .optimizers import _adagrad_run, _wrap_objective
 from .psis import _psislw_1d, _tail_len
@@ -38,6 +38,60 @@ def _default_objective(var_family, log_density, n_mc_samples):
     presampled = var_family.base_sample is not None
     return black_box_klvi(var_family, log_density, n_mc_samples,
                           presampled=presampled)
+
+
+def _hashable_log_density(log_density):
+    """Densities are static jit arguments, so they must be hashable; a
+    `Model` instance (NamedTuple holding numpy arrays) is not — unwrap its
+    `log_prob`, the same fallback `experiments.get_samples_and_log_weights`
+    applies."""
+    try:
+        hash(log_density)
+        return log_density
+    except TypeError:
+        if hasattr(log_density, 'log_prob'):
+            return log_density.log_prob
+        raise
+
+
+def _optimize_and_average(obj, n_iters, window, learning_rate, epsilon,
+                          learning_rate_end, unroll, init_param, opt_key):
+    """Shared pipeline prologue: the whole-loop adagrad scan plus the
+    reference's tail-quarter iterate averaging (viabel/vb.py:375-376)."""
+    values, log_norms, params = _adagrad_run(
+        obj, n_iters, window, learning_rate, epsilon, learning_rate_end,
+        init_param, opt_key, False, unroll)
+    opt_param = jnp.mean(params[3 * n_iters // 4:], axis=0)
+    return values, log_norms, opt_param
+
+
+def _closed_form_moments(var_family, opt_param, alpha):
+    """Closed-form C2/C4 moment bounds for the Wasserstein formulas, or
+    None when unavailable: for alpha != 2 the moments are unused (nan
+    placeholders keep the host pack's layout fixed), and a Student-t family
+    with df <= 4 has no finite closed-form 4th moment — the caller then
+    falls back to empirical central moments of the bound samples, exactly
+    as `all_bounds` does when no `moment_bound_fn` is given."""
+    if alpha != 2:
+        nan = jnp.asarray(jnp.nan, dtype=opt_param.dtype)
+        return {2: nan, 4: nan}
+    try:
+        return {2: var_family.pth_moment(opt_param, 2),
+                4: var_family.pth_moment(opt_param, 4)}
+    except ValueError:
+        return None
+
+
+def _result_dict(var_family, values, log_norms, opt_param, stats, moments,
+                 lw, slw, khat, psis_mean, psis_cov):
+    """Shared pipeline epilogue: q's moments plus the single packed array
+    carrying every host-facing statistic."""
+    q_mean, q_cov = var_family.mean_and_cov(opt_param)
+    return dict(opt_param=opt_param, value_history=values,
+                log_norm_history=log_norms, q_mean=q_mean, q_cov=q_cov,
+                log_weights=lw, smoothed_log_weights=slw, khat=khat,
+                psis_mean=psis_mean, psis_cov=psis_cov,
+                host_pack=_pack_host_scalars(stats, moments, khat, q_cov))
 
 
 # order of the scalar pack fetched to the host in ONE transfer (each
@@ -75,18 +129,17 @@ def _pipeline_core(obj, var_family, log_density, n_iters, n_bound_samples,
     `_multistart_runner` (a batch of starts in one program).
     """
     opt_key, draw_key = jax.random.split(key)
-    values, log_norms, params = _adagrad_run(
+    values, log_norms, opt_param = _optimize_and_average(
         obj, n_iters, window, learning_rate, epsilon, learning_rate_end,
-        init_param, opt_key, False, unroll)
-    # tail-quarter iterate averaging (reference: viabel/vb.py:375-376)
-    opt_param = jnp.mean(params[3 * n_iters // 4:], axis=0)
+        unroll, init_param, opt_key)
 
     samples = var_family.sample(draw_key, opt_param, n_bound_samples)
     lw = log_density(samples) - var_family.log_prob(opt_param, samples)
     stats = log_weight_stats(lw, alpha=alpha)
-    q_mean, q_cov = var_family.mean_and_cov(opt_param)
-    moments = {2: var_family.pth_moment(opt_param, 2),
-               4: var_family.pth_moment(opt_param, 4)}
+    moments = _closed_form_moments(var_family, opt_param, alpha)
+    if moments is None:  # e.g. t family with df <= 4: empirical fallback
+        cm = central_moments(samples)
+        moments = {2: cm['C2'], 4: cm['C4']}
 
     slw, khat = _psislw_1d(lw, tail_len)
     # PSIS-corrected moments (slw is already self-normalized)
@@ -95,12 +148,8 @@ def _pipeline_core(obj, var_family, log_density, n_iters, n_bound_samples,
     c = samples - psis_mean[None, :]
     psis_cov = (w[:, None] * c).T @ c
 
-    return dict(opt_param=opt_param, value_history=values,
-                log_norm_history=log_norms, q_mean=q_mean,
-                q_cov=q_cov, log_weights=lw,
-                smoothed_log_weights=slw, khat=khat, psis_mean=psis_mean,
-                psis_cov=psis_cov,
-                host_pack=_pack_host_scalars(stats, moments, khat, q_cov))
+    return _result_dict(var_family, values, log_norms, opt_param, stats,
+                        moments, lw, slw, khat, psis_mean, psis_cov)
 
 
 _pipeline_run = partial(jax.jit, static_argnames=(
@@ -144,11 +193,12 @@ def _pipeline_run_sharded(obj, var_family, log_density, n_iters,
     from .parallel.sharded_psis import psislw_sharded, sharded_psis_moments
 
     opt_key, draw_key = jax.random.split(key)
-    values, log_norms, params = _adagrad_run(
+    values, log_norms, opt_param = _optimize_and_average(
         obj, n_iters, window, learning_rate, epsilon, learning_rate_end,
-        init_param, opt_key, False, unroll)
-    opt_param = jnp.mean(params[3 * n_iters // 4:], axis=0)
+        unroll, init_param, opt_key)
 
+    moments = _closed_form_moments(var_family, opt_param, alpha)
+    need_empirical = moments is None  # static: df <= 4 t family
     n_local = n_bound_samples // mesh.shape[axis]
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
@@ -159,20 +209,24 @@ def _pipeline_run_sharded(obj, var_family, log_density, n_iters,
         samples = var_family.sample(k_local, vp, n_local)
         lw_local = log_density(samples) - var_family.log_prob(vp, samples)
         stats = _stats_from_locals(lw_local, alpha, n_bound_samples, axis)
+        if need_empirical:
+            # psum-reduced central moments (the sharded counterpart of the
+            # single-device empirical fallback; cf. sharded_all_bounds)
+            nf = jnp.asarray(n_bound_samples, samples.dtype)
+            mean = jax.lax.psum(jnp.sum(samples, axis=0), axis) / nf
+            c = samples - mean
+            stats['C2'] = jax.lax.psum(jnp.sum(c ** 2), axis) / nf
+            stats['C4'] = jax.lax.psum(
+                jnp.sum(jnp.sum(c ** 4, axis=1)), axis) / nf
         return stats, lw_local, samples
 
     stats, lw, samples = local_draw(opt_param, draw_key)
+    if need_empirical:
+        moments = {2: stats.pop('C2'), 4: stats.pop('C4')}
     slw, khat = psislw_sharded(lw, mesh, axis=axis)
     psis_mean, psis_cov = sharded_psis_moments(samples, slw, mesh, axis=axis)
-    q_mean, q_cov = var_family.mean_and_cov(opt_param)
-    moments = {2: var_family.pth_moment(opt_param, 2),
-               4: var_family.pth_moment(opt_param, 4)}
-    return dict(opt_param=opt_param, value_history=values,
-                log_norm_history=log_norms, q_mean=q_mean,
-                q_cov=q_cov, log_weights=lw,
-                smoothed_log_weights=slw, khat=khat, psis_mean=psis_mean,
-                psis_cov=psis_cov,
-                host_pack=_pack_host_scalars(stats, moments, khat, q_cov))
+    return _result_dict(var_family, values, log_norms, opt_param, stats,
+                        moments, lw, slw, khat, psis_mean, psis_cov)
 
 
 def validated_vi(log_density, var_family, init_param, n_iters, *,
@@ -215,6 +269,7 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    log_density = _hashable_log_density(log_density)
     if objective_and_grad is None:
         objective_and_grad = _default_objective(var_family, log_density,
                                                 n_mc_samples)
@@ -306,6 +361,7 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    log_density = _hashable_log_density(log_density)
     if objective_and_grad is None:
         objective_and_grad = _default_objective(var_family, log_density,
                                                 n_mc_samples)

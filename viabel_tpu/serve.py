@@ -9,8 +9,12 @@ explicit vector), compile the samplers once, and serve
 * ``GET /moments``           — posterior mean and covariance (JSON)
 * ``GET /sample?n=K``        — K posterior draws (JSON array)
 * ``POST /log_prob``         — log q(x) for a JSON batch of points
-* ``GET /bounds?n=K``        — validated error bounds from K fresh MC
-  log-weights (the library's headline capability, as a service)
+* ``GET /bounds?n=K``        — validated error bounds + PSIS khat from K
+  fresh MC log-weights (the library's headline capability, as a service)
+* ``POST /fit``              — re-fit server-side with the fused
+  single-dispatch pipeline (`viabel_tpu.validated_vi`), warm-starting
+  from the currently served parameter; atomically swaps in the new fit
+  and returns its validated bounds + khat
 
 Built on the stdlib ``http.server`` (no extra dependencies); requests are
 served from a single compiled JAX program per endpoint.  Start with::
@@ -69,11 +73,38 @@ class PosteriorService:
 
     def bounds(self, n):
         from .bounds import all_bounds
-        lw = np.asarray(self._lw(self.var_param, self._next_key(), n))
+        from .psis import psislw
+        lw_dev = self._lw(self.var_param, self._next_key(), n)
+        lw = np.asarray(lw_dev)
         res = all_bounds(lw, q_var=self.cov,
                          moment_bound_fn=lambda p: float(
                              self.family.pth_moment(self.var_param, p)))
+        res['khat'] = psislw(lw_dev)[1]
         return {k: float(v) for k, v in res.items()}
+
+    def fit(self, n_iters=2000, n_mc_samples=100, n_bound_samples=100000,
+            learning_rate=0.01, learning_rate_end=None):
+        """Re-fit with the fused pipeline, warm-starting from the served
+        parameter, and atomically swap in the result.  Returns the new
+        fit's validated bounds, khat, and moments."""
+        import jax.numpy as jnp
+        from .pipeline import validated_vi
+        out = validated_vi(self.model.log_prob, self.family, self.var_param,
+                           int(n_iters), n_mc_samples=int(n_mc_samples),
+                           n_bound_samples=int(n_bound_samples),
+                           key=self._next_key(),
+                           learning_rate=float(learning_rate),
+                           learning_rate_end=None if learning_rate_end
+                           is None else float(learning_rate_end))
+        with self._lock:
+            self.var_param = jnp.asarray(out['opt_param'])
+            self.mean = np.asarray(out['q_mean'])
+            self.cov = np.asarray(out['q_cov'])
+        return dict(
+            bounds={k: float(v) for k, v in out['bounds'].items()},
+            khat=float(out['khat']),
+            mean=self.mean.tolist(),
+            final_loss=float(np.asarray(out['value_history'])[-1]))
 
 
 def _make_handler(service):
@@ -121,6 +152,15 @@ def _make_handler(service):
                     if x is None:
                         return self._json(dict(error='missing "x"'), 400)
                     self._json(dict(log_prob=service.log_prob(x).tolist()))
+                elif url.path == '/fit':
+                    allowed = {'n_iters', 'n_mc_samples', 'n_bound_samples',
+                               'learning_rate', 'learning_rate_end'}
+                    unknown = set(payload) - allowed
+                    if unknown:
+                        return self._json(dict(
+                            error='unknown fit options: {}'.format(
+                                sorted(unknown))), 400)
+                    self._json(service.fit(**payload))
                 else:
                     self._json(dict(error='unknown endpoint'), 404)
             except Exception as e:
