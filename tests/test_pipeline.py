@@ -193,6 +193,29 @@ def test_multistart_matches_independent_runs():
     assert out['best'] == int(np.argmin([b['d2'] for b in out['bounds']]))
 
 
+def test_multistart_mesh_sharded_matches_unsharded():
+    """Sharding the start axis over a mesh is a placement decision only —
+    GSPMD partitions the vmapped batch without changing any value."""
+    from viabel_tpu import validated_vi_multistart
+    from viabel_tpu.parallel import make_mesh
+    mesh = make_mesh(axis_names=('chain',), shape=(8,))
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    kw = dict(n_starts=8, objective_and_grad=obj, n_bound_samples=4000,
+              key=jax.random.PRNGKey(17))
+    plain = validated_vi_multistart(model.log_prob, fam, init, 150, **kw)
+    sharded = validated_vi_multistart(model.log_prob, fam, init, 150,
+                                      mesh=mesh, **kw)
+    np.testing.assert_allclose(sharded['opt_param'], plain['opt_param'],
+                               rtol=1e-12)
+    assert sharded['best'] == plain['best']
+    for k in range(8):
+        assert sharded['bounds'][k]['d2'] == pytest.approx(
+            plain['bounds'][k]['d2'], rel=1e-8, abs=1e-12)
+
+
 def test_multistart_explicit_init_params():
     from viabel_tpu import validated_vi_multistart
     model = funnel_model()
@@ -257,6 +280,63 @@ def test_model_instance_accepted_as_log_density():
     ref = validated_vi(model.log_prob, fam, init, 200, n_mc_samples=20,
                        n_bound_samples=5000, key=jax.random.PRNGKey(2))
     np.testing.assert_array_equal(out['opt_param'], ref['opt_param'])
+
+
+def test_sweep_matches_per_rate_runs():
+    """The learning-rate sweep must reproduce independent validated_vi
+    runs at each rate with the same key (common random numbers)."""
+    from viabel_tpu import validated_vi_sweep
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    key = jax.random.PRNGKey(31)
+    lrs = [0.003, 0.01, 0.05]
+
+    out = validated_vi_sweep(model.log_prob, fam, init, 300,
+                             learning_rates=lrs, objective_and_grad=obj,
+                             n_bound_samples=5000, key=key)
+    assert out['opt_param'].shape == (3, fam.var_param_dim)
+    for i, lr in enumerate(lrs):
+        single = validated_vi(model.log_prob, fam, init, 300,
+                              objective_and_grad=obj, n_bound_samples=5000,
+                              key=key, learning_rate=lr)
+        np.testing.assert_allclose(out['opt_param'][i],
+                                   single['opt_param'], rtol=1e-12)
+        assert out['bounds'][i]['d2'] == pytest.approx(
+            single['bounds']['d2'], rel=1e-8)
+    assert out['best'] == int(np.argmin([b['d2'] for b in out['bounds']]))
+    np.testing.assert_array_equal(out['learning_rates'], lrs)
+
+    # decaying schedules sweep too
+    out2 = validated_vi_sweep(model.log_prob, fam, init, 300,
+                              learning_rates=lrs,
+                              learning_rate_ends=[lr / 10 for lr in lrs],
+                              objective_and_grad=obj, n_bound_samples=5000,
+                              key=key)
+    single2 = validated_vi(model.log_prob, fam, init, 300,
+                           objective_and_grad=obj, n_bound_samples=5000,
+                           key=key, learning_rate=0.01,
+                           learning_rate_end=0.001)
+    np.testing.assert_allclose(out2['opt_param'][1], single2['opt_param'],
+                               rtol=1e-10)
+
+
+def test_sweep_validates_inputs():
+    from viabel_tpu import validated_vi_sweep
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    with pytest.raises(ValueError, match='positive'):
+        validated_vi_sweep(model.log_prob, fam, init, 100,
+                           learning_rates=[0.01, -0.1])
+    with pytest.raises(ValueError, match='exceed'):
+        validated_vi_sweep(model.log_prob, fam, init, 100,
+                           learning_rates=[0.01], learning_rate_ends=[0.02])
+    with pytest.raises(ValueError, match='match'):
+        validated_vi_sweep(model.log_prob, fam, init, 100,
+                           learning_rates=[0.01, 0.02],
+                           learning_rate_ends=[0.001])
 
 
 def test_diverged_start_degrades_to_inf_bounds():

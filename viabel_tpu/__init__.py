@@ -34,7 +34,8 @@ from .diagnostics import (compute_posterior_moments, compute_R_hat,
                           compute_R_hat_adaptive, compute_R_hat_halfway,
                           stochastic_iterate_averaging)
 from .mcmc import hmc_ground_truth, hmc_sample
-from .pipeline import validated_vi, validated_vi_multistart
+from .pipeline import (validated_vi, validated_vi_multistart,
+                       validated_vi_sweep)
 from .transforms import (ParameterTransforms, identity_transform,
                          interval_transform, lower_bounded_transform,
                          positive_transform)
@@ -68,7 +69,7 @@ __all__ = [
     # anchors; notebooks/eight-schools.ipynb cells 10-16)
     'hmc_sample', 'hmc_ground_truth',
     # single-dispatch fused pipeline (TPU-native; no reference counterpart)
-    'validated_vi', 'validated_vi_multistart',
+    'validated_vi', 'validated_vi_multistart', 'validated_vi_sweep',
     # constrained-parameter transforms (the Stan unconstraining layer)
     'ParameterTransforms', 'identity_transform', 'positive_transform',
     'lower_bounded_transform', 'interval_transform',

@@ -45,12 +45,18 @@ def learning_rate_schedule(i, n_iters, learning_rate, learning_rate_end=None):
     middle half, constant `learning_rate_end` for the last quarter —
     the reference expresses the same schedule as a generator
     (reference: viabel/vb.py:324-342).
+
+    `learning_rate` (and `learning_rate_end`) may be traced scalars — the
+    sweep runner (`pipeline.validated_vi_sweep`) vmaps over them; the
+    eager validation below then falls to the caller.
     """
-    if learning_rate <= 0:
+    concrete = isinstance(learning_rate, (int, float))
+    if concrete and learning_rate <= 0:
         raise ValueError('learning rate must be positive')
     if learning_rate_end is None:
         return jnp.asarray(learning_rate)
-    if learning_rate <= learning_rate_end:
+    if concrete and isinstance(learning_rate_end, (int, float)) \
+            and learning_rate <= learning_rate_end:
         raise ValueError('initial learning rate must be greater than final '
                          'learning rate')
     b = n_iters * learning_rate_end / (2 * (learning_rate - learning_rate_end))

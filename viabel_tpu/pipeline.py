@@ -26,7 +26,8 @@ from .objectives import black_box_klvi
 from .optimizers import _adagrad_run, _wrap_objective
 from .psis import _psislw_1d, _tail_len
 
-__all__ = ['validated_vi', 'validated_vi_multistart']
+__all__ = ['validated_vi', 'validated_vi_multistart',
+           'validated_vi_sweep']
 
 
 @lru_cache(maxsize=256)
@@ -57,8 +58,13 @@ def _hashable_log_density(log_density):
 def _optimize_and_average(obj, n_iters, window, learning_rate, epsilon,
                           learning_rate_end, unroll, init_param, opt_key):
     """Shared pipeline prologue: the whole-loop adagrad scan plus the
-    reference's tail-quarter iterate averaging (viabel/vb.py:375-376)."""
-    values, log_norms, params = _adagrad_run(
+    reference's tail-quarter iterate averaging (viabel/vb.py:375-376).
+
+    Calls the scan body unjitted (`__wrapped__`): every caller is already
+    inside a jit, and the sweep runner passes *traced* learning rates,
+    which the jitted wrapper's static `learning_rate` argument would
+    reject."""
+    values, log_norms, params = _adagrad_run.__wrapped__(
         obj, n_iters, window, learning_rate, epsilon, learning_rate_end,
         init_param, opt_key, False, unroll)
     opt_param = jnp.mean(params[3 * n_iters // 4:], axis=0)
@@ -338,7 +344,7 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
                             n_bound_samples=1000000, alpha=2.0, key=None,
                             has_log_norm=None, window=10, learning_rate=0.01,
                             epsilon=0.1, learning_rate_end=None, unroll=4,
-                            log_norm_bound=None):
+                            log_norm_bound=None, mesh=None, axis='chain'):
     """K independent validated-VI runs batched into ONE compiled program.
 
     The reference runs multi-start optimization as a sequential Python loop
@@ -351,6 +357,11 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
 
     `n_bound_samples` is per start: device memory scales with
     ``n_starts * n_bound_samples``.
+
+    With `mesh=`, the start axis is placed on the mesh's `axis` (default
+    ``chain``) and GSPMD partitions the batch across devices — N starts on
+    N devices run in one start's wall-clock, the same pattern
+    `parallel.shard_chain_inputs` applies to the IA chains runner.
 
     Returns
     -------
@@ -377,25 +388,120 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
         n_starts = init_params.shape[0]
     keys = jax.vmap(lambda i: jax.random.fold_in(run_key, i))(
         jnp.arange(n_starts))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        init_params = jax.device_put(
+            init_params, NamedSharding(mesh, P(axis, None)))
+        keys = jax.device_put(
+            keys, NamedSharding(mesh, P(*([axis] + [None] * (keys.ndim
+                                                             - 1)))))
     tail_len = _tail_len(n_bound_samples, 1.0)
     runner = _multistart_runner(obj, var_family, log_density, n_iters,
                                 n_bound_samples, window, learning_rate,
                                 epsilon, learning_rate_end, alpha, unroll,
                                 tail_len)
     out = runner(init_params, keys)
+    return _finalize_batch(out, n_starts, n_bound_samples, var_family.dim,
+                           alpha, log_norm_bound)
+
+
+def _finalize_batch(out, n_runs, n_bound_samples, dim, alpha,
+                    log_norm_bound):
+    """Host assembly for batched pipelines: per-run bounds from the stacked
+    pack (one fetch), plus best-run selection by the validated divergence
+    bound — diverged runs (non-finite d) never win; all-diverged falls back
+    to run 0."""
     packs = np.asarray(out.pop('host_pack'))
     bounds, khats = [], []
-    for k in range(n_starts):
-        b, kh = _assemble_bounds(packs[k], n_bound_samples, var_family.dim,
-                                 alpha, log_norm_bound)
+    for k in range(n_runs):
+        b, kh = _assemble_bounds(packs[k], n_bound_samples, dim, alpha,
+                                 log_norm_bound)
         bounds.append(b)
         khats.append(kh)
     d_key = 'd2' if alpha == 2 else 'dalpha'
     out['bounds'] = bounds
     out['khat'] = khats
-    # smallest validated divergence bound wins; diverged starts (non-finite
-    # d) never win; all-diverged falls back to start 0
     d_vals = np.asarray([b[d_key] for b in bounds])
     d_vals = np.where(np.isfinite(d_vals), d_vals, np.inf)
     out['best'] = int(np.argmin(d_vals))
+    return out
+
+
+@lru_cache(maxsize=256)
+def _sweep_runner(obj, var_family, log_density, n_iters, n_bound_samples,
+                  window, epsilon, alpha, unroll, tail_len, has_lr_end):
+    """Compiled learning-rate-sweep program: `_pipeline_core` vmapped over
+    traced learning rates with the init and key held fixed (common random
+    numbers, so per-rate differences are purely the rate's effect)."""
+    def run_one(init_param, key, lr, lr_end):
+        return _pipeline_core(obj, var_family, log_density, n_iters,
+                              n_bound_samples, window, lr, epsilon,
+                              lr_end, alpha, unroll, tail_len, init_param,
+                              key)
+    if has_lr_end:
+        return jax.jit(jax.vmap(run_one, in_axes=(None, None, 0, 0)))
+    return jax.jit(jax.vmap(lambda i, k, lr: run_one(i, k, lr, None),
+                            in_axes=(None, None, 0)))
+
+
+def validated_vi_sweep(log_density, var_family, init_param, n_iters, *,
+                       learning_rates, learning_rate_ends=None,
+                       objective_and_grad=None, n_mc_samples=100,
+                       n_bound_samples=100000, alpha=2.0, key=None,
+                       has_log_norm=None, window=10, epsilon=0.1,
+                       unroll=4, log_norm_bound=None):
+    """Learning-rate sweep: one compiled program runs the complete
+    validated pipeline once per rate and reports which rate's fit carries
+    the tightest validated bound.
+
+    All runs share the same init and PRNG key (common random numbers —
+    identical draws per iteration), so per-rate differences in the bounds
+    are the rate's effect alone, not Monte Carlo noise.  The reference has
+    no sweep machinery; its notebooks re-run cells per configuration.
+
+    Parameters
+    ----------
+    learning_rates : array-like of float
+        Rates to sweep (all > 0).
+    learning_rate_ends : optional array-like of float
+        Per-rate schedule endpoints (each < its rate); None runs
+        constant-rate schedules.
+
+    Returns
+    -------
+    dict like `validated_vi_multistart`'s (leading sweep axis, per-rate
+    ``bounds``/``khat`` lists, ``best``) plus ``learning_rates`` echoed.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    log_density = _hashable_log_density(log_density)
+    if objective_and_grad is None:
+        objective_and_grad = _default_objective(var_family, log_density,
+                                                n_mc_samples)
+    obj = _wrap_objective(objective_and_grad, has_log_norm)
+    init_param = jnp.asarray(init_param)
+    lrs = np.asarray(learning_rates, dtype=np.float64)
+    if lrs.ndim != 1 or lrs.size == 0:
+        raise ValueError('learning_rates must be a non-empty 1-D array')
+    if np.any(lrs <= 0):
+        raise ValueError('learning rates must be positive')
+    lr_ends = None
+    if learning_rate_ends is not None:
+        lr_ends = np.asarray(learning_rate_ends, dtype=np.float64)
+        if lr_ends.shape != lrs.shape:
+            raise ValueError('learning_rate_ends must match learning_rates')
+        if np.any(lrs <= lr_ends):
+            raise ValueError('each learning rate must exceed its end rate')
+    tail_len = _tail_len(n_bound_samples, 1.0)
+    runner = _sweep_runner(obj, var_family, log_density, n_iters,
+                           n_bound_samples, window, epsilon, alpha, unroll,
+                           tail_len, lr_ends is not None)
+    dtype = init_param.dtype
+    args = (init_param, key, jnp.asarray(lrs, dtype=dtype))
+    if lr_ends is not None:
+        args += (jnp.asarray(lr_ends, dtype=dtype),)
+    out = runner(*args)
+    out = _finalize_batch(out, lrs.size, n_bound_samples, var_family.dim,
+                          alpha, log_norm_bound)
+    out['learning_rates'] = lrs
     return out
