@@ -282,6 +282,29 @@ def test_model_instance_accepted_as_log_density():
     np.testing.assert_array_equal(out['opt_param'], ref['opt_param'])
 
 
+@pytest.mark.parametrize('family_name', ['mf_gaussian', 'mf_t',
+                                         'full_rank_gaussian',
+                                         'full_rank_t'])
+def test_pipeline_all_families(family_name):
+    """The fused pipeline supports every shipped family (incl. the
+    Cholesky-parameterized full-rank ones)."""
+    from viabel_tpu import (full_rank_gaussian_variational_family,
+                            t_variational_family)
+    model = funnel_model()
+    fam = dict(
+        mf_gaussian=lambda: mean_field_gaussian_variational_family(2),
+        mf_t=lambda: mean_field_t_variational_family(2, 40),
+        full_rank_gaussian=lambda: full_rank_gaussian_variational_family(2),
+        full_rank_t=lambda: t_variational_family(2, 40),
+    )[family_name]()
+    init = fam.init_param(jnp.float64)
+    out = validated_vi(model.log_prob, fam, init, 300, n_mc_samples=20,
+                       n_bound_samples=5000, key=jax.random.PRNGKey(4))
+    assert np.isfinite(out['bounds']['d2'])
+    assert np.isfinite(out['khat']) or out['khat'] == np.inf
+    assert out['psis_mean'].shape == (2,)
+
+
 def test_sweep_matches_per_rate_runs():
     """The learning-rate sweep must reproduce independent validated_vi
     runs at each rate with the same key (common random numbers)."""

@@ -131,7 +131,9 @@ def _cmd_run(args):
     if cfg.bound_samples:
         _, lw = get_samples_and_log_weights(
             model.log_prob, family, opt_param, cfg.bound_samples, bound_key)
-        res = all_bounds(np.asarray(lw),
+        # lw stays on device: all_bounds' statistics pass is a fused device
+        # reduction and a bulk host fetch through the tunnel is expensive
+        res = all_bounds(lw,
                          q_var=np.asarray(cov),
                          moment_bound_fn=lambda p: float(
                              family.pth_moment(opt_param, p)))

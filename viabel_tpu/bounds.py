@@ -92,6 +92,25 @@ def central_moments(samples):
     return dict(C2=C2, C4=C4, cov=cov)
 
 
+_STAT_KEYS = ('log_rescale', 'mean_rescaled_alpha', 'std_rescaled_alpha',
+              'mean_lw', 'std_lw')
+
+
+def _fetch_stats(stats):
+    """Materialize a `log_weight_stats` dict on the host in ONE transfer.
+
+    Each individual device->host scalar fetch pays this environment's
+    dispatch-latency floor (CLAUDE.md; benchmarks/pallas_study.py), so the
+    five statistics are stacked on device and fetched together.  Dicts that
+    already hold host floats pass through unchanged."""
+    if isinstance(stats['mean_lw'], (float, int)):
+        return stats
+    packed = np.asarray(jnp.stack([stats[k] for k in _STAT_KEYS]))
+    out = dict(zip(_STAT_KEYS, (float(v) for v in packed)))
+    out['n'] = stats['n']
+    return out
+
+
 def _check_mc_error(mean, stderr, atol=0.01, rtol=0.0, quantity_name=None):
     """Warn when the MC standard error is large.
 
@@ -124,6 +143,7 @@ def divergence_bound(log_weights, alpha=2.0, log_norm_bound=None,
         raise ValueError('alpha must be greater than 1')
     s = log_weight_stats(jnp.asarray(log_weights), alpha=alpha) \
         if _stats is None else _stats
+    s = _fetch_stats(s)
     n = s['n']
     mean_rescaled = _check_mc_error(
         float(s['mean_rescaled_alpha']),
@@ -153,7 +173,12 @@ def wasserstein_bounds(d2, samples=None, moment_bound_fn=None, _moments=None):
         if samples is None and _moments is None:
             raise ValueError('must provide samples if moment_bound_fn not given')
         m = central_moments(jnp.asarray(samples)) if _moments is None else _moments
-        moments = {2: float(m['C2']), 4: float(m['C4'])}
+        if isinstance(m['C2'], (float, int)):
+            moments = {2: m['C2'], 4: m['C4']}
+        else:  # one transfer for both moments (dispatch-floor economy)
+            c24 = np.asarray(jnp.stack([jnp.asarray(m['C2']),
+                                        jnp.asarray(m['C4'])]))
+            moments = {2: float(c24[0]), 4: float(c24[1])}
         moment_bound_fn = lambda p: moments[p]
     for p in [1, 2]:
         Cp = moment_bound_fn(2 * p)

@@ -75,8 +75,7 @@ class PosteriorService:
         from .bounds import all_bounds
         from .psis import psislw
         lw_dev = self._lw(self.var_param, self._next_key(), n)
-        lw = np.asarray(lw_dev)
-        res = all_bounds(lw, q_var=self.cov,
+        res = all_bounds(lw_dev, q_var=self.cov,
                          moment_bound_fn=lambda p: float(
                              self.family.pth_moment(self.var_param, p)))
         res['khat'] = psislw(lw_dev)[1]
