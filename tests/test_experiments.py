@@ -74,3 +74,26 @@ def test_print_bounds(capsys):
                       cov_error=0.3))
     out = capsys.readouterr().out
     assert '2-Wasserstein' in out
+
+
+def test_improve_with_psis_device_path_matches_numpy():
+    """The device fast path (no transform) must equal the host-numpy path
+    run through an identity transform."""
+    import jax
+    from viabel_tpu import mean_field_gaussian_variational_family
+    from viabel_tpu.experiments import improve_with_psis
+    from viabel_tpu.models import funnel_model
+
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    vp = jnp.asarray([0.0, 0.0, 0.3, -0.2], dtype=jnp.float64)
+    kw = dict(key=jax.random.PRNGKey(3), verbose=False)
+    res_dev, m_dev, c_dev = improve_with_psis(
+        model.log_prob, fam, vp, 20000, model.true_mean, model.true_cov,
+        **kw)
+    res_np, m_np, c_np = improve_with_psis(
+        model.log_prob, fam, vp, 20000, model.true_mean, model.true_cov,
+        transform=lambda s: s, **kw)
+    np.testing.assert_allclose(m_dev, m_np, rtol=1e-10)
+    np.testing.assert_allclose(c_dev, c_np, rtol=1e-10, atol=1e-14)
+    assert res_dev['khat'] == res_np['khat']

@@ -148,26 +148,45 @@ def psis_correction(log_density, var_family, var_param, n_samples, key=None):
     return samples.T, smoothed_log_weights, khat
 
 
+@jax.jit
+def _weighted_moments(samples_T, slw):
+    """Self-normalized importance-weighted mean/cov of (dim, n) samples."""
+    w = jnp.exp(slw - jnp.max(slw))
+    w = w / jnp.sum(w)
+    mean = jnp.sum(w[None, :] * samples_T, axis=1)
+    c = samples_T - mean[:, None]
+    return mean, (w[None, :] * c) @ c.T
+
+
 def improve_with_psis(log_density, var_family, var_param, n_samples,
                       true_mean, true_cov, transform=None, verbose=False,
                       key=None):
     """PSIS-corrected moment estimates + accuracy check
-    (reference: notebooks/experiments.py:73-89)."""
+    (reference: notebooks/experiments.py:73-89).
+
+    With no `transform`, the weighted moments are computed on device and
+    only the dim-sized results cross to the host; a `transform` (a host
+    numpy function over the (dim, n) sample matrix) forces the samples to
+    the host first, as the reference does."""
     samples, slw, khat = psis_correction(log_density, var_family,
                                          var_param, n_samples, key)
     if verbose:
         print('khat = {:.3g}'.format(float(khat)))
         print()
-    samples = np.asarray(samples)
-    slw = np.asarray(slw)
-    if transform is not None:
-        samples = transform(samples)
-    slw = slw - np.max(slw)
-    wts = np.exp(slw)
-    wts = wts / np.sum(wts)
-    approx_mean = np.sum(wts[np.newaxis, :] * samples, axis=1)
-    c = samples - approx_mean[:, None]
-    approx_cov = (wts[np.newaxis, :] * c) @ c.T
+    if transform is None:
+        approx_mean, approx_cov = _weighted_moments(jnp.asarray(samples),
+                                                    jnp.asarray(slw))
+        approx_mean, approx_cov = (np.asarray(approx_mean),
+                                   np.asarray(approx_cov))
+    else:
+        samples = transform(np.asarray(samples))
+        slw = np.asarray(slw)
+        slw = slw - np.max(slw)
+        wts = np.exp(slw)
+        wts = wts / np.sum(wts)
+        approx_mean = np.sum(wts[np.newaxis, :] * samples, axis=1)
+        c = samples - approx_mean[:, None]
+        approx_cov = (wts[np.newaxis, :] * c) @ c.T
     res = check_accuracy(true_mean, true_cov, approx_mean, approx_cov,
                          verbose)
     res['khat'] = float(khat)
