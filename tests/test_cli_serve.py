@@ -150,12 +150,15 @@ def test_posterior_service_endpoints():
         # the served posterior now reflects the new fit
         assert not np.allclose(service.moments()['cov'], m['cov'])
         np.testing.assert_allclose(service.moments()['mean'], fit['mean'])
-        bad_fit = urllib.request.Request(
-            base + '/fit', data=json.dumps({'bogus': 1}).encode(),
-            headers={'Content-Type': 'application/json'})
-        with pytest.raises(urllib.error.HTTPError) as e:
-            urllib.request.urlopen(bad_fit)
-        assert e.value.code == 400
+        for bad_body in (json.dumps({'bogus': 1}),      # unknown option
+                         json.dumps({'n_bound_samples': 0}),  # bad value
+                         '"abc"', '[1, 2]'):            # non-object payload
+            bad_fit = urllib.request.Request(
+                base + '/fit', data=bad_body.encode(),
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(bad_fit)
+            assert e.value.code == 400, bad_body
         # error paths
         bad = urllib.request.Request(
             base + '/log_prob', data=b'{}',

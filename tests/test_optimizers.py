@@ -47,6 +47,15 @@ def test_learning_rate_schedule_validation():
         learning_rate_schedule(0, 100, -1.0)
     with pytest.raises(ValueError):
         learning_rate_schedule(0, 100, .001, .01)
+    # concrete non-Python-float rates must still be validated eagerly
+    # (regression: an isinstance guard once let np.float32(-0.5) through)
+    with pytest.raises(ValueError):
+        learning_rate_schedule(0, 100, np.float32(-0.5))
+    with pytest.raises(ValueError):
+        learning_rate_schedule(0, 100, jnp.asarray(.001), .01)
+    # traced rates defer validation to the caller (the sweep runner)
+    out = jax.jit(lambda lr: learning_rate_schedule(5, 100, lr))(0.02)
+    assert float(out) == 0.02
 
 
 def _conjugate_problem(seed=0):

@@ -216,6 +216,18 @@ def test_multistart_mesh_sharded_matches_unsharded():
             plain['bounds'][k]['d2'], rel=1e-8, abs=1e-12)
 
 
+def test_multistart_mesh_requires_divisible_starts():
+    from viabel_tpu import validated_vi_multistart
+    from viabel_tpu.parallel import make_mesh
+    mesh = make_mesh(axis_names=('chain',), shape=(8,))
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    with pytest.raises(ValueError, match='divide n_starts'):
+        validated_vi_multistart(model.log_prob, fam, init, 50, n_starts=6,
+                                mesh=mesh)
+
+
 def test_multistart_explicit_init_params():
     from viabel_tpu import validated_vi_multistart
     model = funnel_model()

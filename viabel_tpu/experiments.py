@@ -148,16 +148,6 @@ def psis_correction(log_density, var_family, var_param, n_samples, key=None):
     return samples.T, smoothed_log_weights, khat
 
 
-@jax.jit
-def _weighted_moments(samples_T, slw):
-    """Self-normalized importance-weighted mean/cov of (dim, n) samples."""
-    w = jnp.exp(slw - jnp.max(slw))
-    w = w / jnp.sum(w)
-    mean = jnp.sum(w[None, :] * samples_T, axis=1)
-    c = samples_T - mean[:, None]
-    return mean, (w[None, :] * c) @ c.T
-
-
 def improve_with_psis(log_density, var_family, var_param, n_samples,
                       true_mean, true_cov, transform=None, verbose=False,
                       key=None):
@@ -174,8 +164,9 @@ def improve_with_psis(log_density, var_family, var_param, n_samples,
         print('khat = {:.3g}'.format(float(khat)))
         print()
     if transform is None:
-        approx_mean, approx_cov = _weighted_moments(jnp.asarray(samples),
-                                                    jnp.asarray(slw))
+        from .psis import weighted_moments
+        approx_mean, approx_cov = weighted_moments(
+            jnp.asarray(samples).T, jnp.asarray(slw))
         approx_mean, approx_cov = (np.asarray(approx_mean),
                                    np.asarray(approx_cov))
     else:

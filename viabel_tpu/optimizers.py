@@ -48,17 +48,21 @@ def learning_rate_schedule(i, n_iters, learning_rate, learning_rate_end=None):
 
     `learning_rate` (and `learning_rate_end`) may be traced scalars — the
     sweep runner (`pipeline.validated_vi_sweep`) vmaps over them; the
-    eager validation below then falls to the caller.
+    eager validation below then falls to the caller (the sweep validates
+    on the host before tracing).
     """
-    concrete = isinstance(learning_rate, (int, float))
-    if concrete and learning_rate <= 0:
-        raise ValueError('learning rate must be positive')
-    if learning_rate_end is None:
-        return jnp.asarray(learning_rate)
-    if concrete and isinstance(learning_rate_end, (int, float)) \
-            and learning_rate <= learning_rate_end:
+    try:
+        if learning_rate <= 0:
+            raise ValueError('learning rate must be positive')
+        bad_end = (learning_rate_end is not None
+                   and learning_rate <= learning_rate_end)
+    except jax.errors.TracerBoolConversionError:
+        bad_end = False  # traced rates: validated by the caller
+    if bad_end:
         raise ValueError('initial learning rate must be greater than final '
                          'learning rate')
+    if learning_rate_end is None:
+        return jnp.asarray(learning_rate)
     b = n_iters * learning_rate_end / (2 * (learning_rate - learning_rate_end))
     a = learning_rate * b
     start_decrease_at = n_iters // 4

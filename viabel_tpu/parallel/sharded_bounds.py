@@ -44,6 +44,20 @@ def _stats_from_locals(lw_local, alpha, n_total, axis):
     )
 
 
+def _central_moments_from_locals(samples_local, n_total, axis):
+    """psum-reduced centered moments C2/C4 + covariance of mesh-sharded
+    samples (runs per device; the collective counterpart of
+    `bounds.central_moments`)."""
+    nf = jnp.asarray(n_total, samples_local.dtype)
+    mean = jax.lax.psum(jnp.sum(samples_local, axis=0), axis) / nf
+    c = samples_local - mean
+    return dict(
+        C2=jax.lax.psum(jnp.sum(c ** 2), axis) / nf,
+        C4=jax.lax.psum(jnp.sum(jnp.sum(c ** 4, axis=1)), axis) / nf,
+        cov=jax.lax.psum(c.T @ c, axis) / (nf - 1),
+    )
+
+
 def sharded_log_weight_stats(log_weights, mesh, alpha=2.0, axis='sample'):
     """`viabel_tpu.bounds.log_weight_stats` over a mesh-sharded array.
 
@@ -118,13 +132,8 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
         lw_local = model_log_prob(samples) - family.log_prob(vp, samples)
         stats = _stats_from_locals(lw_local, alpha, n_samples, axis)
         if moment_bound_fn is None:
-            nf = jnp.asarray(n_samples, samples.dtype)
-            mean = jax.lax.psum(jnp.sum(samples, axis=0), axis) / nf
-            c = samples - mean
-            stats['C2'] = jax.lax.psum(jnp.sum(c ** 2), axis) / nf
-            stats['C4'] = jax.lax.psum(
-                jnp.sum(jnp.sum(c ** 4, axis=1)), axis) / nf
-            stats['cov'] = jax.lax.psum(c.T @ c, axis) / (nf - 1)
+            stats.update(_central_moments_from_locals(samples, n_samples,
+                                                      axis))
         if return_samples:
             return stats, lw_local, samples
         return stats, lw_local

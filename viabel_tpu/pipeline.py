@@ -24,7 +24,7 @@ from .bounds import (central_moments, divergence_bound, error_bounds,
                      log_weight_stats, wasserstein_bounds)
 from .objectives import black_box_klvi
 from .optimizers import _adagrad_run, _wrap_objective
-from .psis import _psislw_1d, _tail_len
+from .psis import _psislw_1d, _tail_len, weighted_moments
 
 __all__ = ['validated_vi', 'validated_vi_multistart',
            'validated_vi_sweep']
@@ -148,11 +148,7 @@ def _pipeline_core(obj, var_family, log_density, n_iters, n_bound_samples,
         moments = {2: cm['C2'], 4: cm['C4']}
 
     slw, khat = _psislw_1d(lw, tail_len)
-    # PSIS-corrected moments (slw is already self-normalized)
-    w = jnp.exp(slw)
-    psis_mean = w @ samples
-    c = samples - psis_mean[None, :]
-    psis_cov = (w[:, None] * c).T @ c
+    psis_mean, psis_cov = weighted_moments(samples, slw)
 
     return _result_dict(var_family, values, log_norms, opt_param, stats,
                         moments, lw, slw, khat, psis_mean, psis_cov)
@@ -195,7 +191,8 @@ def _pipeline_run_sharded(obj, var_family, log_density, n_iters,
     bit-identical to composing the sharded estimators by hand.
     """
     from jax.sharding import PartitionSpec as P
-    from .parallel.sharded_bounds import _stats_from_locals
+    from .parallel.sharded_bounds import (_central_moments_from_locals,
+                                          _stats_from_locals)
     from .parallel.sharded_psis import psislw_sharded, sharded_psis_moments
 
     opt_key, draw_key = jax.random.split(key)
@@ -217,13 +214,10 @@ def _pipeline_run_sharded(obj, var_family, log_density, n_iters,
         stats = _stats_from_locals(lw_local, alpha, n_bound_samples, axis)
         if need_empirical:
             # psum-reduced central moments (the sharded counterpart of the
-            # single-device empirical fallback; cf. sharded_all_bounds)
-            nf = jnp.asarray(n_bound_samples, samples.dtype)
-            mean = jax.lax.psum(jnp.sum(samples, axis=0), axis) / nf
-            c = samples - mean
-            stats['C2'] = jax.lax.psum(jnp.sum(c ** 2), axis) / nf
-            stats['C4'] = jax.lax.psum(
-                jnp.sum(jnp.sum(c ** 4, axis=1)), axis) / nf
+            # single-device empirical fallback)
+            cm = _central_moments_from_locals(samples, n_bound_samples,
+                                              axis)
+            stats['C2'], stats['C4'] = cm['C2'], cm['C4']
         return stats, lw_local, samples
 
     stats, lw, samples = local_draw(opt_param, draw_key)
@@ -390,6 +384,9 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
         jnp.arange(n_starts))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        if n_starts % mesh.shape[axis]:
+            raise ValueError('the mesh axis size ({}) must divide n_starts '
+                             '({})'.format(mesh.shape[axis], n_starts))
         init_params = jax.device_put(
             init_params, NamedSharding(mesh, P(axis, None)))
         keys = jax.device_put(

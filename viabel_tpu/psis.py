@@ -38,7 +38,27 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import logsumexp
 
-__all__ = ['psislw', 'psisloo', 'gpdfit', 'gpinv', 'sumlogs']
+__all__ = ['psislw', 'psisloo', 'gpdfit', 'gpinv', 'sumlogs',
+           'weighted_moments']
+
+
+@jax.jit
+def weighted_moments(samples, slw):
+    """Self-normalized importance-weighted mean and covariance.
+
+    `samples` is (n, dim), `slw` the (n,) smoothed log-weights under any
+    normalization (they are exp-normalized here).  The device counterpart
+    of the reference's weighted mean + ``np.cov(..., aweights=wts)``
+    (reference: notebooks/experiments.py:80-87); the single shared kernel
+    behind `experiments.improve_with_psis` and the fused pipeline's
+    PSIS-corrected moments (the mesh-collective variant lives in
+    `parallel.sharded_psis_moments`).
+    """
+    w = jnp.exp(slw - jnp.max(slw))
+    w = w / jnp.sum(w)
+    mean = w @ samples
+    c = samples - mean[None, :]
+    return mean, (w[:, None] * c).T @ c
 
 _PRIOR_B = 3.0   # scale prior on b (reference: notebooks/psis.py:261 PRIOR)
 _PRIOR_K_A = 10.0  # weakly informative prior on k (notebooks/psis.py:320-323)

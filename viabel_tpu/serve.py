@@ -60,24 +60,37 @@ class PosteriorService:
             self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _snapshot(self):
+        """Consistent (var_param, mean, cov) triple.  `/fit` swaps all
+        three under the lock, so readers must take them together — reading
+        the fields piecemeal during a concurrent fit would mix posteriors
+        (e.g. bounds drawn from the old parameter but scaled by the new
+        covariance)."""
+        with self._lock:
+            return self.var_param, self.mean, self.cov
+
     def sample(self, n):
-        return np.asarray(self._sample(self._next_key(), self.var_param, n))
+        var_param, _, _ = self._snapshot()
+        return np.asarray(self._sample(self._next_key(), var_param, n))
 
     def moments(self):
-        return dict(mean=self.mean.tolist(), cov=self.cov.tolist())
+        _, mean, cov = self._snapshot()
+        return dict(mean=mean.tolist(), cov=cov.tolist())
 
     def log_prob(self, x):
         import jax.numpy as jnp
-        return np.asarray(self._log_prob(self.var_param, jnp.asarray(
+        var_param, _, _ = self._snapshot()
+        return np.asarray(self._log_prob(var_param, jnp.asarray(
             np.atleast_2d(np.asarray(x, dtype=np.float32)))))
 
     def bounds(self, n):
         from .bounds import all_bounds
         from .psis import psislw
-        lw_dev = self._lw(self.var_param, self._next_key(), n)
-        res = all_bounds(lw_dev, q_var=self.cov,
+        var_param, _, cov = self._snapshot()
+        lw_dev = self._lw(var_param, self._next_key(), n)
+        res = all_bounds(lw_dev, q_var=cov,
                          moment_bound_fn=lambda p: float(
-                             self.family.pth_moment(self.var_param, p)))
+                             self.family.pth_moment(var_param, p)))
         res['khat'] = psislw(lw_dev)[1]
         return {k: float(v) for k, v in res.items()}
 
@@ -88,22 +101,31 @@ class PosteriorService:
         fit's validated bounds, khat, and moments."""
         import jax.numpy as jnp
         from .pipeline import validated_vi
-        out = validated_vi(self.model.log_prob, self.family, self.var_param,
-                           int(n_iters), n_mc_samples=int(n_mc_samples),
-                           n_bound_samples=int(n_bound_samples),
+        n_iters, n_mc_samples, n_bound_samples = (
+            int(n_iters), int(n_mc_samples), int(n_bound_samples))
+        if min(n_iters, n_mc_samples, n_bound_samples) <= 0:
+            raise ValueError('n_iters, n_mc_samples, and n_bound_samples '
+                             'must all be positive')
+        var_param, _, _ = self._snapshot()
+        out = validated_vi(self.model.log_prob, self.family, var_param,
+                           n_iters, n_mc_samples=n_mc_samples,
+                           n_bound_samples=n_bound_samples,
                            key=self._next_key(),
                            learning_rate=float(learning_rate),
                            learning_rate_end=None if learning_rate_end
                            is None else float(learning_rate_end))
+        mean = np.asarray(out['q_mean'])
+        cov = np.asarray(out['q_cov'])
         with self._lock:
             self.var_param = jnp.asarray(out['opt_param'])
-            self.mean = np.asarray(out['q_mean'])
-            self.cov = np.asarray(out['q_cov'])
+            self.mean = mean
+            self.cov = cov
         return dict(
             bounds={k: float(v) for k, v in out['bounds'].items()},
             khat=float(out['khat']),
-            mean=self.mean.tolist(),
-            final_loss=float(np.asarray(out['value_history'])[-1]))
+            mean=mean.tolist(),
+            # device-side index: fetch one scalar, not the whole history
+            final_loss=float(out['value_history'][-1]))
 
 
 def _make_handler(service):
@@ -146,6 +168,9 @@ def _make_handler(service):
             try:
                 length = int(self.headers.get('Content-Length', 0))
                 payload = json.loads(self.rfile.read(length) or b'{}')
+                if not isinstance(payload, dict):
+                    return self._json(dict(
+                        error='payload must be a JSON object'), 400)
                 if url.path == '/log_prob':
                     x = payload.get('x')
                     if x is None:
@@ -159,7 +184,10 @@ def _make_handler(service):
                         return self._json(dict(
                             error='unknown fit options: {}'.format(
                                 sorted(unknown))), 400)
-                    self._json(service.fit(**payload))
+                    try:
+                        self._json(service.fit(**payload))
+                    except (ValueError, TypeError) as e:  # bad option values
+                        self._json(dict(error=str(e)), 400)
                 else:
                     self._json(dict(error='unknown endpoint'), 404)
             except Exception as e:
