@@ -94,3 +94,27 @@ def test_multistart_pipeline_example(capsys):
     np.testing.assert_allclose(np.asarray(out['psis_mean'][best]),
                                robust_regression_model().true_mean,
                                atol=0.25)
+
+def test_eight_schools_ia_example(capsys):
+    """The eight-schools IA-rhat protocol (examples/eight_schools_ia.py;
+    reference: notebooks/eight-schools-iterate-averaging-rhat.ipynb) runs
+    end to end at tiny size and reports the notebook's headline numbers."""
+    import jax
+    from examples import eight_schools_ia
+    from viabel_tpu.models import eight_schools_ncp_model
+    log = eight_schools_ia.run_one(
+        'NCP tiny', eight_schools_ncp_model(), n_iters=500,
+        r_mean_threshold=1.15, tail_avg_iters=200,
+        key=jax.random.PRNGKey(1), rhat_window=100, n_mc=30)
+    out = capsys.readouterr().out
+    assert 'averaging starts' in out and 'IA at least as close' in out
+    assert log['r_hat_mean'].shape[0] == 5  # 500 iters / window 100
+
+def test_linear_regression_ia_protocol2(capsys):
+    """The -2 notebook protocol (path-gradient vs plain KLVI, full-rank IA
+    covariance comparison) runs end to end at tiny size."""
+    from examples import linear_regression_ia
+    linear_regression_ia.protocol2(full=False, n_iters=400)
+    out = capsys.readouterr().out
+    assert 'klvi_pd2' in out and 'rmsprop' in out and 'adam' in out
+    assert 'cov dist' in out
