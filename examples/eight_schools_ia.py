@@ -94,7 +94,48 @@ def run_one(label, model, n_iters, r_mean_threshold, tail_avg_iters, key,
     return log
 
 
-def main(full=False):
+def run_full_rank(full=False, n_iters=None):
+    """Full-rank Gaussian RMSProp-IA on the CP model (reference:
+    notebooks/eight_schools.ipynb cells 10, 22-23: mean-field vs full-rank
+    Gaussian `rmsprop_IA_optimize_with_rhat`, 30000 iters, lr .01)."""
+    from viabel_tpu import full_rank_gaussian_variational_family
+
+    model = eight_schools_cp_model()
+    K = model.dim
+    n_iters = n_iters or (30000 if full else 3000)
+    fam = full_rank_gaussian_variational_family(K)
+    obj = black_box_klvi(fam, model.log_prob, 100)
+    init = init_from_moments(fam, model.true_mean, model.true_cov)
+    (final, chains, avg_means, _, _, _, log) = \
+        rmsprop_IA_optimize_with_rhat(
+            n_iters, obj, init, K, key=jax.random.PRNGKey(2),
+            learning_rate=.01, n_optimisers=2,
+            rhat_window=500 if full else 200,
+            tail_avg_iters=n_iters // 3)
+    print('\n== eight-schools CP, full-rank Gaussian ({} iters) =='
+          .format(n_iters))
+    print('  averaging starts: mean block iter {}, scale block iter {}'
+          .format(log['start_avg_mean_iters'], log['start_avg_sigma_iters']))
+    true_mean = np.asarray(model.true_mean)
+    raw_mean, _ = fam.mean_and_cov(final)
+    final = np.asarray(final)
+    ia_param = np.concatenate([avg_means[0][-1],
+                               final[K:]]).astype(final.dtype)
+    ia_mean, ia_cov = fam.mean_and_cov(ia_param)
+    raw_err = float(np.mean(np.abs(np.asarray(raw_mean) - true_mean)))
+    ia_err = float(np.mean(np.abs(np.asarray(ia_mean) - true_mean)))
+    cov_err = float(np.mean(np.abs(
+        np.asarray(ia_cov) - np.asarray(model.true_cov))))
+    print('  mean err: final iterate = {:.4f}   IA = {:.4f}'.format(
+        raw_err, ia_err))
+    print('  IA cov err (mean abs, vs HMC truth) = {:.4f}'.format(cov_err))
+    return log
+
+
+def main(full=False, full_rank=False):
+    if full_rank:
+        run_full_rank(full=full)
+        return
     scale = 1 if full else 4  # quick mode: quarter-length runs
     run_one('eight-schools CP', eight_schools_cp_model(),
             n_iters=9000 // scale, r_mean_threshold=1.20,
@@ -102,11 +143,15 @@ def main(full=False):
     run_one('eight-schools NCP', eight_schools_ncp_model(),
             n_iters=11000 // scale, r_mean_threshold=1.15,
             tail_avg_iters=3000 // scale, key=jax.random.PRNGKey(1))
+    run_full_rank(full=full)
 
 
 if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--full', action='store_true',
-                   help='reference-scale iteration counts (9000/11000)')
+                   help='reference-scale iteration counts (9000/11000/30000)')
+    p.add_argument('--full-rank', action='store_true',
+                   help='run only the full-rank Gaussian protocol '
+                        '(eight_schools.ipynb cells 22-23)')
     args = p.parse_args()
-    main(full=args.full)
+    main(full=args.full, full_rank=args.full_rank)

@@ -109,6 +109,10 @@ def test_eight_schools_ia_example(capsys):
     out = capsys.readouterr().out
     assert 'averaging starts' in out and 'IA at least as close' in out
     assert log['r_hat_mean'].shape[0] == 5  # 500 iters / window 100
+    # full-rank Gaussian protocol (eight_schools.ipynb cells 22-23)
+    eight_schools_ia.run_full_rank(full=False, n_iters=400)
+    out = capsys.readouterr().out
+    assert 'full-rank Gaussian' in out and 'IA cov err' in out
 
 def test_linear_regression_ia_protocol2(capsys):
     """The -2 notebook protocol (path-gradient vs plain KLVI, full-rank IA

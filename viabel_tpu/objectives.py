@@ -206,10 +206,16 @@ def black_box_chivi_neff(alpha, var_family, log_density, n_samples,
     import but whose source is absent from the repo
     (reference: notebooks/chive_expts_3.ipynb cells 1 & 24; SURVEY.md
     section 2.3).  Identical to `black_box_chivi` except the gradient is
-    normalized by the effective sample size
-    ``n_eff = (sum w^alpha)^2 / sum w^(2 alpha)`` of the exponentiated
-    weights instead of by `n_samples`, damping steps taken on weight sets
-    dominated by a few samples.  Also reports `n_eff` via a fourth output.
+    scaled by ``n_eff / n_samples`` where
+    ``n_eff = (sum w^alpha)^2 / sum w^(2 alpha)`` is the effective sample
+    size of the exponentiated weights: a full-ESS weight set recovers the
+    plain CHIVI gradient, while weight sets dominated by a few samples —
+    whose MC gradient estimate is unreliable — are damped toward zero.
+    (The opposite convention, *dividing* by ``n_eff``, amplifies the
+    gradient by up to ``n_samples``x exactly when the estimate is worst and
+    diverges on the chive_expts_3 workload itself; measured in
+    benchmarks/CHIVI_PROTOCOLS.md.)  Also reports `n_eff` via a fourth
+    output.
     """
 
     def compute_log_weights(var_param, rng_or_draws):
@@ -226,7 +232,8 @@ def black_box_chivi_neff(alpha, var_family, log_density, n_samples,
         neff = (jnp.sum(scaled_values) ** 2
                 / jnp.sum(scaled_values ** 2))
         cotangent = jax.lax.stop_gradient(scaled_values)
-        obj_grad = alpha * vjp_fn(cotangent)[0] / neff
+        obj_grad = (alpha * vjp_fn(cotangent)[0]
+                    * neff / (n_samples * n_samples))
         return obj_value, obj_grad, log_norm, neff
 
     objective_grad_and_log_norm.has_log_norm = True
