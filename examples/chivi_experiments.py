@@ -18,7 +18,7 @@ Configurations (notebook : data : CHIVI stage):
   (cells 8, 20-27);
 * chive_expts_2  : N=80,  k=14, rho=0.1  — CHIVI mf-t(5), +0.6,
   6000 iters, lr .01 -> .002 (cells 7, 16-17);
-* chive_expts_3  : N=90,  k=30, rho=0.1  — ESS-normalized
+* chive_expts_3  : N=90,  k=30, rho=0.1  — ESS-damped
   `black_box_chivi_neff` mf-t(8), +1.2, 1400 iters, lr .004 -> .0001
   (cells 24, 30-31).
 
@@ -124,7 +124,7 @@ def main(full=False, n_iters=None, mc_samples=None):
         [('chivi mf-t(5) +0.6', 5, 0.6, it(6000), .01, .002)],
         it(5000), mc, hmc_n, jax.random.PRNGKey(1))
 
-    # chive_expts_3.ipynb: k=30, ESS-normalized gradient (cells 30-31)
+    # chive_expts_3.ipynb: k=30, ESS-damped gradient (cells 30-31)
     out['chive_expts_3'] = run_protocol(
         'chive_expts_3', 90, 30, 0.1,
         [('chivi_neff mf-t(8) +1.2', 8, 1.2, it(1400), .004, .0001)],

@@ -36,11 +36,19 @@ from viabel_tpu import (black_box_klvi, init_from_moments,
 from viabel_tpu.models import eight_schools_cp_model, eight_schools_ncp_model
 
 
+def _l2(err):
+    """Per-iterate l2 norm over the parameter axis (the notebook's
+    'Distance' quantity), averaged over iterates; scalars reduce to |err|."""
+    err = np.atleast_1d(np.asarray(err))
+    flat = err.reshape(err.shape[0], -1) if err.ndim > 1 else err[:, None]
+    return float(np.mean(np.linalg.norm(flat, axis=1)))
+
+
 def _block_errors(label, raw_tail, ia_traj, truth):
     """Mean l2 distance to the truth: raw post-convergence iterates vs the
     final iterate average (what the notebook's 'Distance' plots show)."""
-    raw = float(np.mean(np.sqrt((raw_tail - truth) ** 2)))
-    ia = float(np.mean(np.sqrt((ia_traj[-1] - truth) ** 2)))
+    raw = _l2(raw_tail - truth)
+    ia = _l2(np.asarray(ia_traj)[-1:] - truth)
     better = 'IA' if ia <= raw else 'raw'
     print('    {:<22} raw tail = {:.4f}   IA final = {:.4f}   ({} better)'
           .format(label, raw, ia, better))
@@ -106,7 +114,7 @@ def run_full_rank(full=False, n_iters=None):
     fam = full_rank_gaussian_variational_family(K)
     obj = black_box_klvi(fam, model.log_prob, 100)
     init = init_from_moments(fam, model.true_mean, model.true_cov)
-    (final, chains, avg_means, _, _, _, log) = \
+    (_, chains, avg_means, avg_sigmas, _, _, log) = \
         rmsprop_IA_optimize_with_rhat(
             n_iters, obj, init, K, key=jax.random.PRNGKey(2),
             learning_rate=.01, n_optimisers=2,
@@ -117,18 +125,21 @@ def run_full_rank(full=False, n_iters=None):
     print('  averaging starts: mean block iter {}, scale block iter {}'
           .format(log['start_avg_mean_iters'], log['start_avg_sigma_iters']))
     true_mean = np.asarray(model.true_mean)
-    raw_mean, _ = fam.mean_and_cov(final)
-    final = np.asarray(final)
+    # everything on chain 0 so raw-vs-IA is not confounded with chain
+    # identity: raw = chain 0's last recorded iterate, IA = chain 0's
+    # averaged mean and scale blocks
+    raw_param = np.asarray(chains[0, -1])
+    raw_mean, _ = fam.mean_and_cov(raw_param)
     ia_param = np.concatenate([avg_means[0][-1],
-                               final[K:]]).astype(final.dtype)
+                               avg_sigmas[0][-1]]).astype(raw_param.dtype)
     ia_mean, ia_cov = fam.mean_and_cov(ia_param)
-    raw_err = float(np.mean(np.abs(np.asarray(raw_mean) - true_mean)))
-    ia_err = float(np.mean(np.abs(np.asarray(ia_mean) - true_mean)))
-    cov_err = float(np.mean(np.abs(
-        np.asarray(ia_cov) - np.asarray(model.true_cov))))
-    print('  mean err: final iterate = {:.4f}   IA = {:.4f}'.format(
+    raw_err = float(np.linalg.norm(np.asarray(raw_mean) - true_mean))
+    ia_err = float(np.linalg.norm(np.asarray(ia_mean) - true_mean))
+    cov_err = float(np.linalg.norm(
+        np.asarray(ia_cov) - np.asarray(model.true_cov)))
+    print('  mean err (l2): final iterate = {:.4f}   IA = {:.4f}'.format(
         raw_err, ia_err))
-    print('  IA cov err (mean abs, vs HMC truth) = {:.4f}'.format(cov_err))
+    print('  IA cov err (Frobenius, vs HMC truth) = {:.4f}'.format(cov_err))
     return log
 
 

@@ -71,12 +71,13 @@ def main(full=False):
 
 
 def _cov_distance(fam, params, true_cov):
-    """Mean l2 distance between per-iterate flattened covariances and the
-    exact posterior covariance (reference: -2 notebook cells 60, 70)."""
+    """Per-iterate Frobenius distance between the iterate's covariance and
+    the exact posterior covariance, averaged over iterates (the quantity
+    the -2 notebook's distance plots show; reference: cells 60, 70)."""
     covs = jax.vmap(lambda p: fam.mean_and_cov(p)[1])(jnp.asarray(params))
     diff = covs.reshape(covs.shape[0], -1) - jnp.ravel(
         jnp.asarray(true_cov, dtype=covs.dtype))
-    return float(jnp.mean(jnp.sqrt(diff ** 2)))
+    return float(jnp.mean(jnp.linalg.norm(diff, axis=1)))
 
 
 def protocol2(full=False, n_iters=None):
