@@ -171,3 +171,30 @@ def test_posterior_service_endpoints():
         assert e.value.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_posterior_service_fit_limits():
+    """The service bounds its compile caches: oversized fit requests are
+    rejected, and only `max_distinct_fit_configs` distinct static fit
+    configurations are admitted (each compiles a cached device program)."""
+    from viabel_tpu.serve import PosteriorService
+    from viabel_tpu import mean_field_gaussian_variational_family
+    from viabel_tpu.models import funnel_model
+
+    service = PosteriorService(
+        funnel_model(), mean_field_gaussian_variational_family(2),
+        jnp.asarray([0.0, 0.0, -0.4, -0.4], dtype=jnp.float64),
+        max_fit_iters=1000, max_bound_samples=50000,
+        max_distinct_fit_configs=2)
+    with pytest.raises(ValueError, match='exceeds the service limit'):
+        service.fit(n_iters=2000)
+    with pytest.raises(ValueError, match='exceeds the service limit'):
+        service.fit(n_iters=10, n_bound_samples=10 ** 10)
+    service.fit(n_iters=50, n_mc_samples=20, n_bound_samples=1000)
+    service.fit(n_iters=60, n_mc_samples=20, n_bound_samples=1000)
+    # a repeat of an admitted config is fine; a third distinct one is not
+    service.fit(n_iters=50, n_mc_samples=20, n_bound_samples=1000)
+    with pytest.raises(ValueError, match='fit-configuration limit'):
+        service.fit(n_iters=70, n_mc_samples=20, n_bound_samples=1000)
+    # sample/bounds sizes are bucketed: result still has the asked size
+    assert service.sample(37).shape == (37, 2)

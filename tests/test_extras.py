@@ -207,3 +207,16 @@ def test_trace_device_time_parses_perfetto_json(tmp_path):
         json.dump({'traceEvents': events}, f)
     assert trace_device_time(str(tmp_path)) == 12.0 / 1e6
     assert trace_device_time(str(tmp_path / 'nothing')) is None
+
+
+def test_native_robust_regression_rejects_partial_data():
+    """x without y (or vice versa) must error, not crash or silently use
+    the notebook default for the missing half."""
+    from viabel_tpu.native import native_robust_regression_log_density
+    X = np.ones((5, 2))
+    with pytest.raises(ValueError, match='both x and y'):
+        native_robust_regression_log_density(x=X)
+    with pytest.raises(ValueError, match='both x and y'):
+        native_robust_regression_log_density(y=np.ones(5))
+    with pytest.raises(ValueError, match='one response per row'):
+        native_robust_regression_log_density(x=X, y=np.ones(4))

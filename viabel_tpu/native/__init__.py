@@ -109,11 +109,17 @@ def native_robust_regression_log_density(x=None, y=None, df=40.0,
 
     from ..models import make_callback_log_density
     from ..models.regression import robust_regression_notebook_data
+    if (x is None) != (y is None):
+        raise ValueError('pass both x and y, or neither (notebook data)')
     if x is None:
         x, y = robust_regression_notebook_data()
     x = np.ascontiguousarray(x, dtype=np.float64)
-    y = np.ascontiguousarray(y, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64).reshape(-1)
     N, D = x.shape
+    if y.shape != (N,):
+        raise ValueError('y must have one response per row of x '
+                         '(got {} responses for {} rows)'.format(
+                             y.shape[0], N))
     lognorm = float(gammaln(0.5 * (df + 1.0)) - gammaln(0.5 * df)
                     - 0.5 * np.log(df * np.pi))
     lib = _load()

@@ -338,7 +338,8 @@ def _chains_run(obj, kind, n_iters, learning_rate, epsilon,
     in chronological order.
     """
     use_ring = hist_cap is not None and hist_cap < n_iters
-    presampled = getattr(obj, 'presampled', False)  # noqa: F841 (doc aid)
+    # presampling is handled entirely by _chain_xs: it feeds the scan
+    # per-iteration draws instead of keys when obj.presampled is set
 
     def one_chain(init_param, chain_key):
         dtype = init_param.dtype
@@ -427,7 +428,7 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
     """
     inits = jnp.asarray(inits)
     n_chains, P = inits.shape
-    np_dtype = np.asarray(inits).dtype
+    np_dtype = np.dtype(inits.dtype)  # no device fetch: dtype is metadata
     cap = min(hist_cap, n_iters) if hist_cap is not None else n_iters
 
     template = dict(

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bounds import (central_moments, divergence_bound, error_bounds,
-                     log_weight_stats, wasserstein_bounds)
+from .bounds import (divergence_bound, error_bounds, log_weight_stats,
+                     wasserstein_bounds)
 from .objectives import black_box_klvi
 from .optimizers import _adagrad_run, _wrap_objective
 from .psis import _psislw_1d, _tail_len, weighted_moments
@@ -144,8 +144,12 @@ def _pipeline_core(obj, var_family, log_density, n_iters, n_bound_samples,
     stats = log_weight_stats(lw, alpha=alpha)
     moments = _closed_form_moments(var_family, opt_param, alpha)
     if moments is None:  # e.g. t family with df <= 4: empirical fallback
-        cm = central_moments(samples)
-        moments = {2: cm['C2'], 4: cm['C4']}
+        # only the C2/C4 scalars are needed here — skip central_moments'
+        # (d, d) sample covariance (q_cov comes from the family closed form)
+        x = jnp.atleast_2d(samples.T).T
+        c = x - jnp.mean(x, axis=0, keepdims=True)
+        moments = {2: jnp.mean(jnp.sum(c ** 2, axis=1)),
+                   4: jnp.mean(jnp.sum(c ** 4, axis=1))}
 
     slw, khat = _psislw_1d(lw, tail_len)
     psis_mean, psis_cov = weighted_moments(samples, slw)

@@ -32,14 +32,29 @@ __all__ = ['PosteriorService', 'serve']
 
 
 class PosteriorService:
-    """Compiled query layer over (model, family, var_param)."""
+    """Compiled query layer over (model, family, var_param).
 
-    def __init__(self, model, family, var_param, seed=0):
+    Sizes that become static jit arguments are bounded: `/sample` and
+    `/bounds` round the requested count up to the next power of two before
+    compiling (so at most ~log2(max) programs ever compile per endpoint),
+    and `/fit` admits at most `max_distinct_fit_configs` distinct
+    (n_iters, n_mc, n_bound, lr, lr_end) tuples — each distinct tuple
+    compiles and permanently caches a pipeline executable, so an unbounded
+    variety would grow server memory without limit.
+    """
+
+    def __init__(self, model, family, var_param, seed=0,
+                 max_fit_iters=200000, max_bound_samples=4000000,
+                 max_distinct_fit_configs=8):
         import jax
         import jax.numpy as jnp
         self.model = model
         self.family = family
         self.var_param = jnp.asarray(var_param)
+        self.max_fit_iters = int(max_fit_iters)
+        self.max_bound_samples = int(max_bound_samples)
+        self.max_distinct_fit_configs = int(max_distinct_fit_configs)
+        self._fit_configs = set()
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
 
@@ -69,9 +84,17 @@ class PosteriorService:
         with self._lock:
             return self.var_param, self.mean, self.cov
 
+    @staticmethod
+    def _bucket(n):
+        """Round a requested size up to the next power of two so the count
+        of compiled programs per endpoint stays O(log max), not O(distinct
+        requests)."""
+        return 1 << max(int(n) - 1, 0).bit_length()
+
     def sample(self, n):
         var_param, _, _ = self._snapshot()
-        return np.asarray(self._sample(self._next_key(), var_param, n))
+        draws = self._sample(self._next_key(), var_param, self._bucket(n))
+        return np.asarray(draws[:n])
 
     def moments(self):
         _, mean, cov = self._snapshot()
@@ -87,6 +110,8 @@ class PosteriorService:
         from .bounds import all_bounds
         from .psis import psislw
         var_param, _, cov = self._snapshot()
+        # rounding the MC size up to a bucket only tightens the estimates
+        n = min(self._bucket(n), self.max_bound_samples)
         lw_dev = self._lw(var_param, self._next_key(), n)
         res = all_bounds(lw_dev, q_var=cov,
                          moment_bound_fn=lambda p: float(
@@ -106,14 +131,34 @@ class PosteriorService:
         if min(n_iters, n_mc_samples, n_bound_samples) <= 0:
             raise ValueError('n_iters, n_mc_samples, and n_bound_samples '
                              'must all be positive')
+        if n_iters > self.max_fit_iters:
+            raise ValueError('n_iters {} exceeds the service limit {}'
+                             .format(n_iters, self.max_fit_iters))
+        if n_bound_samples > self.max_bound_samples:
+            raise ValueError('n_bound_samples {} exceeds the service '
+                             'limit {}'.format(n_bound_samples,
+                                               self.max_bound_samples))
+        lr = float(learning_rate)
+        lr_end = None if learning_rate_end is None else float(
+            learning_rate_end)
+        cfg = (n_iters, n_mc_samples, n_bound_samples, lr, lr_end)
+        with self._lock:
+            if cfg not in self._fit_configs:
+                if len(self._fit_configs) >= self.max_distinct_fit_configs:
+                    raise ValueError(
+                        'distinct fit-configuration limit ({}) reached — '
+                        'each distinct (n_iters, n_mc_samples, '
+                        'n_bound_samples, learning_rate) tuple compiles '
+                        'and caches a new device program; reuse one of '
+                        'the existing configurations'.format(
+                            self.max_distinct_fit_configs))
+                self._fit_configs.add(cfg)
         var_param, _, _ = self._snapshot()
         out = validated_vi(self.model.log_prob, self.family, var_param,
                            n_iters, n_mc_samples=n_mc_samples,
                            n_bound_samples=n_bound_samples,
                            key=self._next_key(),
-                           learning_rate=float(learning_rate),
-                           learning_rate_end=None if learning_rate_end
-                           is None else float(learning_rate_end))
+                           learning_rate=lr, learning_rate_end=lr_end)
         mean = np.asarray(out['q_mean'])
         cov = np.asarray(out['q_cov'])
         with self._lock:
