@@ -8,7 +8,10 @@ run unchanged with intra-slice reductions over ICI and cross-slice over DCN
 
 This module is a thin, documented wrapper because JAX's collectives need no
 hand-written communication layer — the work is in the sharding annotations,
-which `viabel_tpu.parallel` already provides.
+which `viabel_tpu.parallel` already provides.  The cross-process path is
+exercised for real by `tests/test_distributed.py`: two OS processes form a
+global mesh and the sharded estimators reproduce single-process numbers
+exactly.
 """
 import jax
 
