@@ -36,17 +36,20 @@ def main():
     vp = jnp.asarray([0.0, 0.0, 0.3, -0.2])
     mesh = make_mesh(axis_names=('sample',))  # all 4 global devices
 
-    res, lw = sharded_all_bounds(
+    res, lw, samples = sharded_all_bounds(
         model.log_prob, fam, vp, 40000, jax.random.PRNGKey(0), mesh,
         moment_bound_fn=lambda p: float(fam.pth_moment(vp, p)),
         q_var=__import__('numpy').asarray(fam.mean_and_cov(vp)[1]),
-        return_log_weights=True)
+        return_log_weights=True, return_samples=True)
     slw, khat = psislw_sharded(lw, mesh)
+    psis_mean, psis_cov = sharded_psis_moments(samples, slw, mesh)
     print(json.dumps(dict(
         proc=proc_id, n_global=info['global_devices'],
         n_local=info['local_devices'],
         d2=float(res['d2']), W2=float(res['W2']),
-        mean_error=float(res['mean_error']), khat=float(khat))), flush=True)
+        mean_error=float(res['mean_error']), khat=float(khat),
+        psis_mean=[float(v) for v in psis_mean],
+        psis_cov_tr=float(jnp.trace(psis_cov)))), flush=True)
 
 
 if __name__ == '__main__':

@@ -58,18 +58,25 @@ def test_two_process_sharded_bounds_match_single_process():
     from viabel_tpu.models import funnel_model
     from viabel_tpu.parallel import (make_mesh, psislw_sharded,
                                      sharded_all_bounds)
+    from viabel_tpu.parallel import sharded_psis_moments
     model = funnel_model()
     fam = mean_field_gaussian_variational_family(2)
     vp = jnp.asarray([0.0, 0.0, 0.3, -0.2])
     mesh = make_mesh(axis_names=('sample',), devices=jax.devices()[:4])
-    ref, lw = sharded_all_bounds(
+    ref, lw, samples = sharded_all_bounds(
         model.log_prob, fam, vp, 40000, jax.random.PRNGKey(0), mesh,
         moment_bound_fn=lambda p: float(fam.pth_moment(vp, p)),
         q_var=np.asarray(fam.mean_and_cov(vp)[1]),
-        return_log_weights=True)
-    _, khat_ref = psislw_sharded(lw, mesh)
+        return_log_weights=True, return_samples=True)
+    slw, khat_ref = psislw_sharded(lw, mesh)
+    psis_mean_ref, psis_cov_ref = sharded_psis_moments(samples, slw, mesh)
     np.testing.assert_allclose(outs[0]['d2'], ref['d2'], rtol=1e-12)
     np.testing.assert_allclose(outs[0]['W2'], ref['W2'], rtol=1e-12)
     np.testing.assert_allclose(outs[0]['mean_error'], ref['mean_error'],
                                rtol=1e-12)
     np.testing.assert_allclose(outs[0]['khat'], float(khat_ref), rtol=1e-12)
+    np.testing.assert_allclose(outs[0]['psis_mean'],
+                               np.asarray(psis_mean_ref), rtol=1e-12)
+    np.testing.assert_allclose(outs[0]['psis_cov_tr'],
+                               float(jnp.trace(psis_cov_ref)),
+                               rtol=1e-12)
