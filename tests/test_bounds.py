@@ -102,6 +102,15 @@ def test_wasserstein_requires_samples_or_fn():
         wasserstein_bounds(1.0)
 
 
+def test_wasserstein_bounds_negative_d2_is_finite():
+    """A near-exact fit can give a slightly negative MC d2 estimate;
+    the bounds must degrade to 0, not NaN (the reference NaNs:
+    viabel/bounds.py:124)."""
+    moment_fn = lambda p: {2: 4.0, 4: 48.0}[p]
+    res = wasserstein_bounds(-1e-4, moment_bound_fn=moment_fn)
+    assert res['W1'] == 0.0 and res['W2'] == 0.0
+
+
 def test_error_bounds_scalar_and_matrix_var():
     res = error_bounds(W1=1.0, W2=2.0, q_var=4.0)
     assert res['mean_error'] == 1.0

@@ -198,3 +198,24 @@ def test_posterior_service_fit_limits():
         service.fit(n_iters=70, n_mc_samples=20, n_bound_samples=1000)
     # sample/bounds sizes are bucketed: result still has the asked size
     assert service.sample(37).shape == (37, 2)
+
+
+def test_posterior_service_failed_fit_releases_config_slot():
+    """A fit that fails hyperparameter validation must not permanently
+    consume one of the bounded distinct-config slots."""
+    from viabel_tpu.serve import PosteriorService
+    from viabel_tpu import mean_field_gaussian_variational_family
+    from viabel_tpu.models import funnel_model
+
+    service = PosteriorService(
+        funnel_model(), mean_field_gaussian_variational_family(2),
+        jnp.asarray([0.0, 0.0, -0.4, -0.4], dtype=jnp.float64),
+        max_fit_iters=1000, max_bound_samples=50000,
+        max_distinct_fit_configs=2)
+    for lr_end in (0.5, 0.6):  # two distinct invalid configs
+        with pytest.raises(ValueError):
+            service.fit(n_iters=50, n_mc_samples=20, n_bound_samples=1000,
+                        learning_rate=0.01, learning_rate_end=lr_end)
+    # both slots must still be free for valid configurations
+    service.fit(n_iters=50, n_mc_samples=20, n_bound_samples=1000)
+    service.fit(n_iters=60, n_mc_samples=20, n_bound_samples=1000)

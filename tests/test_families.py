@@ -175,15 +175,46 @@ def test_full_rank_t():
     np.testing.assert_allclose(sm, mu, atol=2e-2)
     np.testing.assert_allclose(sc, df / (df - 2) * Sigma, atol=5e-2)
 
-    # pth moments vs eigendecomposition form (reference: viabel/vb.py:219-230)
+    # pth moments: p=2 as in the reference (viabel/vb.py:226-227); p=4 uses
+    # the corrected shared-chi-square closed form
+    # df^2/((df-2)(df-4)) (2 tr Sigma^2 + (tr Sigma)^2) — the reference's
+    # eigenvalue/mean-field formula (vb.py:228-230) undercounts it
+    # (fixed, not replicated; see PARITY.md)
     lam = np.linalg.eigvalsh(Sigma)
     cc = df / (df - 2)
     np.testing.assert_allclose(fam.pth_moment(param, 2), cc * lam.sum(),
                                rtol=1e-6)
     np.testing.assert_allclose(
         fam.pth_moment(param, 4),
-        cc ** 2 * (2 * (df - 1) / (df - 4) * (lam ** 2).sum()
-                   + lam.sum() ** 2), rtol=1e-6)
+        df ** 2 / ((df - 2) * (df - 4))
+        * (2 * (lam ** 2).sum() + lam.sum() ** 2), rtol=1e-6)
+
+
+def test_full_rank_t_fourth_moment_matches_sampling():
+    """MC check that pth_moment(4) is the true E||x-mu||^4 for the shared
+    chi-square mixture.  The formula error in the reference
+    (viabel/vb.py:228-230, the mean-field-on-eigenvalues form) scales with
+    (tr Sigma)^2 - tr Sigma^2, so a near-isotropic Sigma in dim 8 at df=12
+    separates the formulas by ~16% while the MC standard error at 2e6
+    f64 draws is ~0.2% — the reference formula decisively fails this test."""
+    dim, df = 8, 12.0
+    fam = t_variational_family(dim, df)
+    rng = np.random.RandomState(3)
+    Sigma = np.diag(1.0 + 0.1 * rng.rand(dim))
+    L = np.linalg.cholesky(Sigma)
+    mu = np.zeros(dim)
+    param = _chol_param(dim, mu, L)
+
+    closed = float(fam.pth_moment(param, 4))
+    draws = fam.sample(jax.random.PRNGKey(11), param.astype(jnp.float64),
+                       5 * N)
+    emp4 = float(jnp.mean(jnp.sum((draws - mu) ** 2, axis=1) ** 2))
+    np.testing.assert_allclose(emp4, closed, rtol=2e-2)
+    # the (wrong) reference formula is far outside that tolerance
+    lam = np.linalg.eigvalsh(Sigma)
+    ref_formula = (df / (df - 2)) ** 2 * (
+        2 * (df - 1) / (df - 4) * (lam ** 2).sum() + lam.sum() ** 2)
+    assert closed > 1.10 * ref_formula
 
 
 def test_sampling_is_reparameterized():

@@ -43,6 +43,37 @@ def test_sharded_log_weight_stats_matches_local(mesh):
                                    rtol=1e-12, err_msg=k)
 
 
+def test_sharded_log_weight_stats_f32_large_mean(mesh):
+    """std_lw must survive f32 with |mean| >> std (mean ~ -500, std ~ 1 is
+    routine for log-weights): the one-pass E[x^2]-E[x]^2 form cancels
+    catastrophically there; the two-pass centered form must match the
+    unsharded two-pass jnp.std closely."""
+    lw = (-500.0 + jax.random.normal(jax.random.PRNGKey(5), (80000,),
+                                     dtype=jnp.float64)).astype(jnp.float32)
+    s_sharded = sharded_log_weight_stats(shard_over(lw, mesh, 'sample'), mesh)
+    s_local = log_weight_stats(lw)
+    np.testing.assert_allclose(float(s_sharded['std_lw']),
+                               float(s_local['std_lw']), rtol=1e-3)
+    np.testing.assert_allclose(float(s_sharded['std_lw']), 1.0, rtol=2e-2)
+
+
+def test_sharded_all_bounds_reuses_compiled_program(mesh):
+    """Repeated sharded_all_bounds calls with the same model/family/sizes
+    must hit the cached compiled program, not rebuild a fresh jitted closure
+    per call (the CLAUDE.md `_pad_objective` convention)."""
+    from viabel_tpu.parallel import sharded_bounds as sb
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    vp = jnp.asarray([0.0, 0.0, 0.0, 0.0], dtype=jnp.float64)
+    sb._build_local_estimate.cache_clear()
+    sharded_all_bounds(model.log_prob, fam, vp, 8000,
+                       jax.random.PRNGKey(0), mesh)
+    sharded_all_bounds(model.log_prob, fam, vp, 8000,
+                       jax.random.PRNGKey(1), mesh)
+    info = sb._build_local_estimate.cache_info()
+    assert info.misses == 1 and info.hits == 1
+
+
 def test_sharded_sample_stats_matches_local(mesh):
     from viabel_tpu.bounds import central_moments
     x = jax.random.normal(jax.random.PRNGKey(1), (40000, 3),

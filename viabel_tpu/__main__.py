@@ -27,7 +27,7 @@ def _cmd_run(args):
     from .config import ExperimentConfig, build
     from .experiments import (check_approx_accuracy,
                               get_samples_and_log_weights, print_bounds)
-    from .bounds import all_bounds
+    from .bounds import all_bounds, family_moment_bounds
     from .optimizers import (adagrad_optimize, adam_IA_optimize_with_rhat,
                              rmsprop_IA_optimize_with_rhat)
     from .psis import psislw
@@ -112,7 +112,8 @@ def _cmd_run(args):
         out = optimizer(cfg.n_iters, objective, init, model.dim,
                         key=opt_key, learning_rate=cfg.learning_rate,
                         learning_rate_end=cfg.learning_rate_end,
-                        n_optimisers=cfg.n_chains)
+                        n_optimisers=cfg.n_chains,
+                        checkpoint_path=cfg.checkpoint_path)
         _, _, avg_means, avg_sigmas = out[:4]
         opt_param = jnp.asarray(np.concatenate([avg_means[0][-1],
                                                 avg_sigmas[0][-1]]))
@@ -135,8 +136,8 @@ def _cmd_run(args):
         # reduction and a bulk host fetch through the tunnel is expensive
         res = all_bounds(lw,
                          q_var=np.asarray(cov),
-                         moment_bound_fn=lambda p: float(
-                             family.pth_moment(opt_param, p)))
+                         moment_bound_fn=family_moment_bounds(family,
+                                                              opt_param))
         print_bounds(res)
         _, khat = psislw(lw)
         print('khat = {:.3f}{}'.format(

@@ -24,7 +24,7 @@ the same kernel runs sharded over a device mesh with `psum` reductions in
 `viabel_tpu.parallel.sharded_bounds`.  The scalar bound algebra stays in
 Python/numpy — there is nothing to accelerate there.
 """
-from functools import partial
+from functools import lru_cache, partial
 from warnings import warn
 
 import jax
@@ -38,8 +38,29 @@ __all__ = [
     'divergence_bound',
     'log_weight_stats',
     'central_moments',
+    'family_moment_bounds',
     'MonteCarloErrorWarning',
 ]
+
+
+@lru_cache(maxsize=64)
+def _family_moments_prog(family):
+    return jax.jit(lambda vp: jnp.stack([family.pth_moment(vp, 2),
+                                         family.pth_moment(vp, 4)]))
+
+
+def family_moment_bounds(family, var_param):
+    """A `moment_bound_fn` backed by the family's closed-form moments.
+
+    Evaluates both `pth_moment(var_param, 2)` and `pth_moment(var_param, 4)`
+    in ONE cached compiled program and fetches both scalars in ONE transfer
+    — eager per-scalar evaluation pays the tunnel's ~25-35 ms dispatch floor
+    per op (CLAUDE.md).  The compiled program is cached per family identity
+    (the `_pad_objective` convention).
+    """
+    c2, c4 = np.asarray(_family_moments_prog(family)(var_param), dtype=float)
+    moments = {2: c2, 4: c4}
+    return lambda p: moments[p]
 
 
 class MonteCarloErrorWarning(UserWarning):
@@ -180,6 +201,11 @@ def wasserstein_bounds(d2, samples=None, moment_bound_fn=None, _moments=None):
                                         jnp.asarray(m['C4'])]))
             moments = {2: float(c24[0]), 4: float(c24[1])}
         moment_bound_fn = lambda p: moments[p]
+    # d2 is a divergence, mathematically >= 0; a Monte Carlo estimate can
+    # dip negative for near-exact fits (CUBO < ELBO by noise), and
+    # expm1(d2)**0.5 would then be NaN.  Clamp to the honest degenerate
+    # bound W_p = 0 instead (the reference, viabel/bounds.py:124, NaNs).
+    d2 = max(float(d2), 0.0)
     for p in [1, 2]:
         Cp = moment_bound_fn(2 * p)
         results['W{}'.format(p)] = 2 * Cp ** (.5 / p) * np.expm1(d2) ** (.5 / p)

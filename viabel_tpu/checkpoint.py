@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .optimizers import (_wrap_objective, _WindowState,
-                         learning_rate_schedule)
+from .optimizers import _make_adagrad_step, _wrap_objective, _WindowState
 
 __all__ = ['save_checkpoint', 'load_checkpoint', 'load_checkpoint_entry',
            'adagrad_optimize_resumable']
@@ -133,18 +132,10 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
                           jnp.asarray(state['log_norms']))
 
     presampled = getattr(obj, 'presampled', False)
+    step = _make_adagrad_step(obj, n_iters, window, learning_rate, epsilon,
+                              learning_rate_end, dtype)
 
     def segment(param, wstate, i0, length):
-        def step(carry, xs):
-            i, rng_or_draws = xs
-            p, w = carry
-            value, grad, log_norm = obj(p, rng_or_draws)
-            from .optimizers import _window_accum
-            w, accum = _window_accum(w, i, grad, log_norm, window)
-            lr = learning_rate_schedule(i, n_iters, learning_rate,
-                                        learning_rate_end).astype(dtype)
-            p = p - lr * grad / jnp.sqrt(epsilon + accum)
-            return (p, w), (value, log_norm, p)
         iters = jnp.arange(length) + i0
         if presampled:
             xs = (iters, obj.make_draws_range(key, i0, length, dtype))

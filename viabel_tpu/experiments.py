@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bounds import all_bounds
+from .bounds import all_bounds, family_moment_bounds
 from .objectives import black_box_chivi, black_box_klvi
 from .optimizers import adagrad_optimize
 from .psis import psislw
@@ -315,8 +315,7 @@ def _optimize_and_check_results(log_density, var_family, objective_and_grad,
             _, log_weights = get_samples_and_log_weights(
                 log_density, var_family, opt_param, n_samples, bound_key)
             var_dist_cov = np.asarray(var_family.mean_and_cov(opt_param)[1])
-            moment_bound_fn = lambda p: float(
-                var_family.pth_moment(opt_param, p))
+            moment_bound_fn = family_moment_bounds(var_family, opt_param)
             other_results.update(all_bounds(log_weights,
                                             q_var=var_dist_cov,
                                             moment_bound_fn=moment_bound_fn,

@@ -299,11 +299,19 @@ def t_variational_family(dim, df):
             raise ValueError('df must be greater than p')
         _, L = _unpack_chol(var_param, dim)
         tr_sigma = jnp.sum(L ** 2)
-        c = df / (df - 2)
         if p == 2:
-            return c * tr_sigma
+            return df / (df - 2) * tr_sigma
+        # All coordinates share ONE chi-square divisor, so
+        # E||x-mu||^4 = E[(df/chi2)^2] * E||z||^4
+        #             = df^2/((df-2)(df-4)) * (2 tr(Sigma^2) + tr(Sigma)^2).
+        # The reference (viabel/vb.py:228-230) instead applies the
+        # independent-coordinate mean-field formula to eigvalsh(Sigma),
+        # which drops the shared-mixing cross terms and UNDERestimates the
+        # 4th moment — making the downstream W2/moment "bounds" not actual
+        # upper bounds.  Fixed here, not replicated; see PARITY.md.
         tr_sigma2 = jnp.sum((L.T @ L) ** 2)
-        return c ** 2 * (2 * (df - 1) / (df - 4) * tr_sigma2 + tr_sigma ** 2)
+        return df ** 2 / ((df - 2) * (df - 4)) * (
+            2 * tr_sigma2 + tr_sigma ** 2)
 
     return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
                              pth_moment, _chol_param_dim(dim), dim,

@@ -161,6 +161,26 @@ def _window_accum(state, i, grad, log_norm, window):
     return _WindowState(grads, log_norms), accum_sum
 
 
+def _make_adagrad_step(obj, n_iters, window, learning_rate, epsilon,
+                       learning_rate_end, dtype):
+    """Single windowed-adagrad iteration (reference: viabel/vb.py:357-376),
+    shared by the whole-run driver (`_adagrad_run`) and the segmented
+    resumable driver (`checkpoint.adagrad_optimize_resumable`) so the
+    update rule lives in exactly one place."""
+
+    def step(carry, xs):
+        i, rng_or_draws = xs
+        param, wstate = carry
+        value, grad, log_norm = obj(param, rng_or_draws)
+        wstate, accum_sum = _window_accum(wstate, i, grad, log_norm, window)
+        lr = learning_rate_schedule(i, n_iters, learning_rate,
+                                    learning_rate_end).astype(dtype)
+        param = param - lr * grad / jnp.sqrt(epsilon + accum_sum)
+        return (param, wstate), (value, log_norm, param)
+
+    return step
+
+
 def _progress_report(i, n_iters, value):
     """Host-side progress line (the reference uses tqdm with a running
     average-loss description; reference: viabel/vb.py:377-380)."""
@@ -182,16 +202,13 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
     dtype = init_param.dtype
     P = init_param.shape[0]
     presampled = getattr(obj, 'presampled', False)
+    base_step = _make_adagrad_step(obj, n_iters, window, learning_rate,
+                                   epsilon, learning_rate_end, dtype)
 
     def step(carry, xs):
-        i, rng_or_draws = xs
-        param, wstate = carry
-        value, grad, log_norm = obj(param, rng_or_draws)
-        wstate, accum_sum = _window_accum(wstate, i, grad, log_norm, window)
-        lr = learning_rate_schedule(i, n_iters, learning_rate,
-                                    learning_rate_end).astype(dtype)
-        param = param - lr * grad / jnp.sqrt(epsilon + accum_sum)
+        carry, out = base_step(carry, xs)
         if progress:
+            i, value = xs[0], out[0]
             report_now = (jnp.mod(i, max(n_iters // 100, 1)) == 0) \
                 | (i == n_iters - 1)
             jax.lax.cond(
@@ -199,7 +216,7 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
                 lambda: jax.debug.callback(_progress_report, i, n_iters,
                                            value),
                 lambda: None)
-        return (param, wstate), (value, log_norm, param)
+        return carry, out
 
     iters = jnp.arange(n_iters)
     if presampled:

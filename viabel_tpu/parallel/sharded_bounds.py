@@ -8,7 +8,7 @@ folding in the device's mesh index), and the CUBO/ELBO/moment statistics are
 combined with `pmax`/`psum` collectives over the ICI — samples and
 log-weights are never gathered to one device.
 """
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -25,22 +25,29 @@ __all__ = [
 
 
 def _stats_from_locals(lw_local, alpha, n_total, axis):
-    """Collective reduction of log-weight statistics (runs per device)."""
+    """Collective reduction of log-weight statistics (runs per device).
+
+    Second moments are two-pass (centered): the one-pass E[x^2] - E[x]^2
+    form cancels catastrophically in f32 when |mean| >> std, which is
+    routine for log-weights (mean ~ -500, std ~ 1).  This matches the
+    two-pass `jnp.std` used by the unsharded `bounds.log_weight_stats`.
+    Each pass stacks both scalars into ONE psum, so the collective count
+    stays at 1 pmax + 2 psums.
+    """
     gmax = jax.lax.pmax(jnp.max(lw_local), axis)
     w = jnp.exp(lw_local - gmax) ** alpha
-    s_w = jax.lax.psum(jnp.sum(w), axis)
-    s_w2 = jax.lax.psum(jnp.sum(w * w), axis)
-    s_lw = jax.lax.psum(jnp.sum(lw_local), axis)
-    s_lw2 = jax.lax.psum(jnp.sum(lw_local * lw_local), axis)
     n = jnp.asarray(n_total, lw_local.dtype)
-    mean_w = s_w / n
-    mean_lw = s_lw / n
+    mean_w, mean_lw = jax.lax.psum(
+        jnp.stack([jnp.sum(w), jnp.sum(lw_local)]), axis) / n
+    var_w, var_lw = jax.lax.psum(
+        jnp.stack([jnp.sum((w - mean_w) ** 2),
+                   jnp.sum((lw_local - mean_lw) ** 2)]), axis) / n
     return dict(
         log_rescale=gmax,
         mean_rescaled_alpha=mean_w,
-        std_rescaled_alpha=jnp.sqrt(jnp.maximum(s_w2 / n - mean_w ** 2, 0.0)),
+        std_rescaled_alpha=jnp.sqrt(jnp.maximum(var_w, 0.0)),
         mean_lw=mean_lw,
-        std_lw=jnp.sqrt(jnp.maximum(s_lw2 / n - mean_lw ** 2, 0.0)),
+        std_lw=jnp.sqrt(jnp.maximum(var_lw, 0.0)),
     )
 
 
@@ -58,6 +65,19 @@ def _central_moments_from_locals(samples_local, n_total, axis):
     )
 
 
+@lru_cache(maxsize=64)
+def _build_log_weight_stats(mesh, alpha, axis, n_total):
+    """Compiled-closure cache: shard_map programs are cached on their
+    defining function's identity, so rebuilding the closure per call would
+    recompile per call (see CLAUDE.md's `_pad_objective` convention)."""
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
+    def stats(lw_local):
+        return _stats_from_locals(lw_local, alpha, n_total, axis)
+
+    return stats
+
+
 def sharded_log_weight_stats(log_weights, mesh, alpha=2.0, axis='sample'):
     """`viabel_tpu.bounds.log_weight_stats` over a mesh-sharded array.
 
@@ -66,14 +86,19 @@ def sharded_log_weight_stats(log_weights, mesh, alpha=2.0, axis='sample'):
     consumable by `divergence_bound(..., _stats=...)`.
     """
     n_total = log_weights.shape[0]
-
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
-    def stats(lw_local):
-        return _stats_from_locals(lw_local, alpha, n_total, axis)
-
+    stats = _build_log_weight_stats(mesh, float(alpha), axis, n_total)
     out = stats(log_weights)
     out['n'] = n_total
     return out
+
+
+@lru_cache(maxsize=64)
+def _build_sample_stats(mesh, axis, n):
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P())
+    def stats(x_local):
+        return _central_moments_from_locals(x_local, n, axis)
+
+    return stats
 
 
 def sharded_sample_stats(samples, mesh, axis='sample'):
@@ -82,19 +107,39 @@ def sharded_sample_stats(samples, mesh, axis='sample'):
     Two-collective pass: global mean first, then centered reductions
     (the sharded counterpart of `viabel_tpu.bounds.central_moments`).
     """
-    n, d = samples.shape
+    return _build_sample_stats(mesh, axis, samples.shape[0])(samples)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P())
-    def stats(x_local):
-        nf = jnp.asarray(n, x_local.dtype)
-        mean = jax.lax.psum(jnp.sum(x_local, axis=0), axis) / nf
-        c = x_local - mean
-        C2 = jax.lax.psum(jnp.sum(c ** 2), axis) / nf
-        C4 = jax.lax.psum(jnp.sum(jnp.sum(c ** 4, axis=1)), axis) / nf
-        cov = jax.lax.psum(c.T @ c, axis) / (nf - 1)
-        return dict(C2=C2, C4=C4, cov=cov)
 
-    return stats(samples)
+@lru_cache(maxsize=64)
+def _build_local_estimate(model_log_prob, family, mesh, axis, n_local,
+                          n_samples, alpha, compute_moments, return_samples):
+    """Cached fused sample->score->reduce program for `sharded_all_bounds`.
+
+    Keyed on the model/family identities (like `optimizers._pad_objective`):
+    repeated calls with the same model, family, mesh, and sizes hit the same
+    jitted program instead of recompiling — critical through the
+    remote-compile tunnel, where each compile costs seconds to minutes.
+    """
+    out_specs = (P(), P(axis), P(axis, None)) if return_samples \
+        else (P(), P(axis))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+             out_specs=out_specs)
+    def local_estimate(vp, k):
+        idx = jax.lax.axis_index(axis)
+        k_local = jax.random.fold_in(k, idx)
+        samples = family.sample(k_local, vp, n_local)
+        lw_local = model_log_prob(samples) - family.log_prob(vp, samples)
+        stats = _stats_from_locals(lw_local, alpha, n_samples, axis)
+        if compute_moments:
+            stats.update(_central_moments_from_locals(samples, n_samples,
+                                                      axis))
+        if return_samples:
+            return stats, lw_local, samples
+        return stats, lw_local
+
+    return local_estimate
 
 
 def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
@@ -119,25 +164,9 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
     n_local = n_samples // n_dev
     var_param = jnp.asarray(var_param)
 
-    out_specs = (P(), P(axis), P(axis, None)) if return_samples \
-        else (P(), P(axis))
-
-    @partial(jax.jit, static_argnums=())
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
-             out_specs=out_specs)
-    def local_estimate(vp, k):
-        idx = jax.lax.axis_index(axis)
-        k_local = jax.random.fold_in(k, idx)
-        samples = family.sample(k_local, vp, n_local)
-        lw_local = model_log_prob(samples) - family.log_prob(vp, samples)
-        stats = _stats_from_locals(lw_local, alpha, n_samples, axis)
-        if moment_bound_fn is None:
-            stats.update(_central_moments_from_locals(samples, n_samples,
-                                                      axis))
-        if return_samples:
-            return stats, lw_local, samples
-        return stats, lw_local
-
+    local_estimate = _build_local_estimate(
+        model_log_prob, family, mesh, axis, n_local, n_samples, float(alpha),
+        moment_bound_fn is None, return_samples)
     out = local_estimate(var_param, key)
     stats, lw_sharded = out[0], out[1]
     samples_sharded = out[2] if return_samples else None

@@ -20,7 +20,7 @@ comparison, so exactly-equal tail values receive the same smoothed quantile
 (the reference's argsort breaks such ties by index; for continuous weights
 this is measure-zero).
 """
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -32,18 +32,11 @@ from ..psis import _tail_len, gpdfit, gpinv
 __all__ = ['psislw_sharded', 'sharded_psis_moments']
 
 
-def psislw_sharded(log_weights, mesh, Reff=1.0, axis='sample'):
-    """PSIS over a mesh-sharded 1-D log-weight array.
-
-    Returns ``(smoothed_log_weights, khat)`` with the smoothed weights still
-    sharded like the input and `khat` a replicated scalar.  Semantics match
-    `viabel_tpu.psis.psislw` (and hence the reference) up to cutoff-tie
-    ordering.
-    """
-    n = log_weights.shape[0]
-    tail_len = _tail_len(n, Reff)
-    cutoffmin = float(np.log(np.finfo(np.dtype(log_weights.dtype)).tiny))
-
+@lru_cache(maxsize=64)
+def _build_psislw(mesh, axis, tail_len, cutoffmin):
+    """Compiled-closure cache (shard_map programs are keyed on function
+    identity; a per-call closure would recompile per call — CLAUDE.md's
+    `_pad_objective` convention)."""
     # check_vma=False: the tail statistics are computed identically on every
     # device from the all_gather'ed candidates, but the replication checker
     # cannot infer that statically.
@@ -95,18 +88,25 @@ def psislw_sharded(log_weights, mesh, Reff=1.0, axis='sample'):
         x_new = x_new - (jnp.log(z) + m)
         return x_new, khat
 
-    return smooth(log_weights)
+    return smooth
 
 
-def sharded_psis_moments(samples, smoothed_log_weights, mesh, axis='sample'):
-    """Self-normalized importance-weighted mean and covariance from sharded
-    samples and smoothed log-weights.
+def psislw_sharded(log_weights, mesh, Reff=1.0, axis='sample'):
+    """PSIS over a mesh-sharded 1-D log-weight array.
 
-    Mesh-scaled version of `improve_with_psis`'s moment estimation
-    (reference: notebooks/experiments.py:80-87: exp-normalize weights,
-    weighted mean, `np.cov(..., aweights=wts, ddof=0)`).
+    Returns ``(smoothed_log_weights, khat)`` with the smoothed weights still
+    sharded like the input and `khat` a replicated scalar.  Semantics match
+    `viabel_tpu.psis.psislw` (and hence the reference) up to cutoff-tie
+    ordering.
     """
+    n = log_weights.shape[0]
+    tail_len = _tail_len(n, Reff)
+    cutoffmin = float(np.log(np.finfo(np.dtype(log_weights.dtype)).tiny))
+    return _build_psislw(mesh, axis, tail_len, cutoffmin)(log_weights)
 
+
+@lru_cache(maxsize=64)
+def _build_psis_moments(mesh, axis):
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis, None), P(axis)),
              out_specs=P())
     def moments(x_local, slw_local):
@@ -119,5 +119,16 @@ def sharded_psis_moments(samples, smoothed_log_weights, mesh, axis='sample'):
         cov = jax.lax.psum((w[:, None] * c).T @ c, axis)
         return dict(mean=mean, cov=cov)
 
-    out = moments(samples, smoothed_log_weights)
+    return moments
+
+
+def sharded_psis_moments(samples, smoothed_log_weights, mesh, axis='sample'):
+    """Self-normalized importance-weighted mean and covariance from sharded
+    samples and smoothed log-weights.
+
+    Mesh-scaled version of `improve_with_psis`'s moment estimation
+    (reference: notebooks/experiments.py:80-87: exp-normalize weights,
+    weighted mean, `np.cov(..., aweights=wts, ddof=0)`).
+    """
+    out = _build_psis_moments(mesh, axis)(samples, smoothed_log_weights)
     return out['mean'], out['cov']

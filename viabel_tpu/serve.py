@@ -107,15 +107,15 @@ class PosteriorService:
             np.atleast_2d(np.asarray(x, dtype=np.float32)))))
 
     def bounds(self, n):
-        from .bounds import all_bounds
+        from .bounds import all_bounds, family_moment_bounds
         from .psis import psislw
         var_param, _, cov = self._snapshot()
         # rounding the MC size up to a bucket only tightens the estimates
         n = min(self._bucket(n), self.max_bound_samples)
         lw_dev = self._lw(var_param, self._next_key(), n)
         res = all_bounds(lw_dev, q_var=cov,
-                         moment_bound_fn=lambda p: float(
-                             self.family.pth_moment(var_param, p)))
+                         moment_bound_fn=family_moment_bounds(self.family,
+                                                              var_param))
         res['khat'] = psislw(lw_dev)[1]
         return {k: float(v) for k, v in res.items()}
 
@@ -143,7 +143,8 @@ class PosteriorService:
             learning_rate_end)
         cfg = (n_iters, n_mc_samples, n_bound_samples, lr, lr_end)
         with self._lock:
-            if cfg not in self._fit_configs:
+            is_new_cfg = cfg not in self._fit_configs
+            if is_new_cfg:
                 if len(self._fit_configs) >= self.max_distinct_fit_configs:
                     raise ValueError(
                         'distinct fit-configuration limit ({}) reached — '
@@ -154,11 +155,20 @@ class PosteriorService:
                             self.max_distinct_fit_configs))
                 self._fit_configs.add(cfg)
         var_param, _, _ = self._snapshot()
-        out = validated_vi(self.model.log_prob, self.family, var_param,
-                           n_iters, n_mc_samples=n_mc_samples,
-                           n_bound_samples=n_bound_samples,
-                           key=self._next_key(),
-                           learning_rate=lr, learning_rate_end=lr_end)
+        try:
+            out = validated_vi(self.model.log_prob, self.family, var_param,
+                               n_iters, n_mc_samples=n_mc_samples,
+                               n_bound_samples=n_bound_samples,
+                               key=self._next_key(),
+                               learning_rate=lr, learning_rate_end=lr_end)
+        except BaseException:
+            # A fit that fails (typically hyperparameter validation raised
+            # during tracing, before anything compiled) must not consume
+            # one of the bounded config slots permanently.
+            if is_new_cfg:
+                with self._lock:
+                    self._fit_configs.discard(cfg)
+            raise
         mean = np.asarray(out['q_mean'])
         cov = np.asarray(out['q_cov'])
         with self._lock:
