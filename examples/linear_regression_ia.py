@@ -116,10 +116,11 @@ def protocol2(full=False, n_iters=None):
     fr_init = jnp.concatenate([jnp.zeros(k),
                                jnp.ones(fr.var_param_dim - k)])
     fr_lr = .005 if full else .02  # short horizons need the larger step
+    fr_obj = black_box_klvi(fr, model.log_prob, 100)  # once: reused objective
     for name, optimizer in [('rmsprop', rmsprop_IA_optimize_with_rhat),
                             ('adam', adam_IA_optimize_with_rhat)]:
         (final, chains, avg_means, avg_sigmas, _, _, log) = optimizer(
-            n_iters, black_box_klvi(fr, model.log_prob, 100), fr_init, k,
+            n_iters, fr_obj, fr_init, k,
             key=jax.random.PRNGKey(1), learning_rate=fr_lr, n_optimisers=2,
             rhat_window=rhat_window, tail_avg_iters=n_iters // 3)
         s0 = log['start_avg_sigma_iters']

@@ -7,6 +7,8 @@ with `jax.random` (the host CPU in this environment is too slow for scipy's
 generators at 1e6+ scale); the normal-mixture parity test keeps the
 reference's exact numpy seed-918 draw so its expected values are exact.
 """
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,6 +111,25 @@ def test_wasserstein_bounds_negative_d2_is_finite():
     moment_fn = lambda p: {2: 4.0, 4: 48.0}[p]
     res = wasserstein_bounds(-1e-4, moment_bound_fn=moment_fn)
     assert res['W1'] == 0.0 and res['W2'] == 0.0
+
+
+def test_wasserstein_bounds_large_d2_no_overflow_warning():
+    """A terrible fit gives a huge d2; the log-space evaluation must not
+    emit numpy overflow RuntimeWarnings, stay monotone, and saturate to
+    inf only when the bound really exceeds float range."""
+    moment_fn = lambda p: {2: 4.0, 4: 48.0}[p]
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        res = wasserstein_bounds(800.0, moment_bound_fn=moment_fn)
+        huge = wasserstein_bounds(4000.0, moment_bound_fn=moment_fn)
+    np.testing.assert_allclose(res['W1'], 2 * np.exp(0.5 * (np.log(4.0)
+                                                            + 800.0)))
+    assert res['W2'] < res['W1'] < np.inf
+    assert huge['W1'] == np.inf  # exp(~2000) overflows: vacuous bound
+    assert huge['W2'] > 0
+    # squaring a huge-but-finite W2 saturates to inf, never raises
+    eb = error_bounds(W1=res['W1'], W2=res['W1'], q_var=4.0)
+    assert eb['cov_error'] == np.inf and eb['mean_error'] == res['W1']
 
 
 def test_error_bounds_scalar_and_matrix_var():

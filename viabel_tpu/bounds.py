@@ -24,6 +24,7 @@ the same kernel runs sharded over a device mesh with `psum` reductions in
 `viabel_tpu.parallel.sharded_bounds`.  The scalar bound algebra stays in
 Python/numpy — there is nothing to accelerate there.
 """
+import math
 from functools import lru_cache, partial
 from warnings import warn
 
@@ -207,8 +208,23 @@ def wasserstein_bounds(d2, samples=None, moment_bound_fn=None, _moments=None):
     # bound W_p = 0 instead (the reference, viabel/bounds.py:124, NaNs).
     d2 = max(float(d2), 0.0)
     for p in [1, 2]:
-        Cp = moment_bound_fn(2 * p)
-        results['W{}'.format(p)] = 2 * Cp ** (.5 / p) * np.expm1(d2) ** (.5 / p)
+        Cp = float(moment_bound_fn(2 * p))
+        # evaluated in log space: a large d2 (poor fit) overflows
+        # np.expm1(d2) with a RuntimeWarning, whereas
+        # log(expm1(d2)) = d2 + log1p(-exp(-d2)) stays finite
+        if Cp < 0 or math.isnan(Cp) or math.isnan(d2):
+            w = math.nan
+        elif d2 == 0.0 or Cp == 0.0:
+            w = 0.0
+        else:
+            log_w = (math.log(2.0)
+                     + (.5 / p) * (math.log(Cp)
+                                   + d2 + math.log1p(-math.exp(-d2))))
+            try:
+                w = math.exp(log_w)
+            except OverflowError:  # vacuous bound
+                w = math.inf
+        results['W{}'.format(p)] = w
     return results
 
 
@@ -239,7 +255,11 @@ def var_bound(W2, var1, var2=None):
     else:
         min_var = var1
     min_std = np.sqrt(min_var)
-    return 2 * (min_std * W2 + W2 ** 2)
+    # W2 can be astronomically large for a terrible fit; saturate the
+    # square to inf (vacuous bound) instead of raising OverflowError
+    W2 = np.float64(W2)
+    with np.errstate(over='ignore'):
+        return 2 * (min_std * W2 + W2 ** 2)
 
 
 def error_bounds(W1=np.inf, W2=np.inf, q_var=np.inf, p_var=np.inf):
