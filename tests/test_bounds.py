@@ -113,6 +113,40 @@ def test_wasserstein_bounds_negative_d2_is_finite():
     assert res['W1'] == 0.0 and res['W2'] == 0.0
 
 
+def test_wasserstein_bounds_tiny_positive_d2():
+    """exp(-d2) rounds to exactly 1.0 for d2 below ~1e-16; the log-space
+    path must still return the (tiny) bound, not raise a math domain
+    error."""
+    moment_fn = lambda p: {2: 4.0, 4: 48.0}[p]
+    res = wasserstein_bounds(1e-17, moment_bound_fn=moment_fn)
+    np.testing.assert_allclose(res['W1'], 2 * np.sqrt(4.0 * 1e-17),
+                               rtol=1e-12)
+    np.testing.assert_allclose(res['W2'], 2 * (48.0 * 1e-17) ** 0.25,
+                               rtol=1e-12)
+    # for tiny d2 the quartic-root W2 decays slower than the sqrt W1
+    assert 0 < res['W1'] < res['W2'] < 1
+
+
+def test_central_moments_c4_matches_closed_form():
+    """Empirical C4 is the norm moment E[||x-mu||^4], agreeing with the
+    families' closed-form pth_moment(4).  (The reference's empirical
+    fallback drops the cross terms — viabel/bounds.py:135 vs
+    viabel/vb.py:177-179 — so its two moment sources disagree in
+    dimension > 1; fixed here, see PARITY.md.)"""
+    from viabel_tpu import mean_field_gaussian_variational_family
+    from viabel_tpu.bounds import central_moments
+    d = 5
+    fam = mean_field_gaussian_variational_family(d)
+    param = jnp.concatenate([jnp.arange(d, dtype=jnp.float64),
+                             jnp.linspace(-0.5, 0.5, d)])
+    x = fam.sample(jax.random.PRNGKey(7), param, 400000)
+    m = central_moments(x)
+    np.testing.assert_allclose(float(m['C2']), float(fam.pth_moment(param, 2)),
+                               rtol=5e-3)
+    np.testing.assert_allclose(float(m['C4']), float(fam.pth_moment(param, 4)),
+                               rtol=2e-2)
+
+
 def test_wasserstein_bounds_large_d2_no_overflow_warning():
     """A terrible fit gives a huge d2; the log-space evaluation must not
     emit numpy overflow RuntimeWarnings, stay monotone, and saturate to

@@ -159,6 +159,13 @@ def test_posterior_service_endpoints():
             with pytest.raises(urllib.error.HTTPError) as e:
                 urllib.request.urlopen(bad_fit)
             assert e.value.code == 400, bad_body
+        # invalid sample/bounds sizes are rejected with 400, not silently
+        # truncated to empty results or surfaced as 500s
+        for bad_url in ('/sample?n=0', '/sample?n=-3', '/bounds?n=1',
+                        '/bounds?n=-1'):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(base + bad_url)
+            assert e.value.code == 400, bad_url
         # error paths
         bad = urllib.request.Request(
             base + '/log_prob', data=b'{}',

@@ -98,17 +98,25 @@ def log_weight_stats(log_weights, alpha=2.0):
 
 @jax.jit
 def central_moments(samples):
-    """Empirical centered moments ``C_p = E[ sum_d (x_d - mean_d)^p ]``.
+    """Empirical centered norm moments ``C_p = E[ ||x - mean||^p ]``.
 
     Computes C2 and C4 (the two moments `wasserstein_bounds` needs;
     reference: viabel/bounds.py:130-135) plus the sample covariance matrix
     (reference: viabel/bounds.py:55-56) in one pass over the samples.
+
+    The reference's empirical fallback computes ``E[sum_d c_d^4]`` for C4,
+    which omits the cross terms of ``E[||c||^4]`` and therefore
+    *underestimates* the 4th moment (an invalid "upper" bound) — while its
+    own closed-form family ``pth_moment(4)`` implementations include them
+    (e.g. viabel/vb.py:177-179).  Fixed here, not replicated (PARITY.md):
+    C4 is the norm moment, consistent with every closed form.
     """
     x = jnp.atleast_2d(samples.T).T  # (n, d)
     mean = jnp.mean(x, axis=0, keepdims=True)
     c = x - mean
-    C2 = jnp.mean(jnp.sum(c ** 2, axis=1))
-    C4 = jnp.mean(jnp.sum(c ** 4, axis=1))
+    norm2 = jnp.sum(c ** 2, axis=1)
+    C2 = jnp.mean(norm2)
+    C4 = jnp.mean(norm2 ** 2)
     n = x.shape[0]
     cov = (c.T @ c) / (n - 1)
     return dict(C2=C2, C4=C4, cov=cov)
@@ -217,9 +225,15 @@ def wasserstein_bounds(d2, samples=None, moment_bound_fn=None, _moments=None):
         elif d2 == 0.0 or Cp == 0.0:
             w = 0.0
         else:
-            log_w = (math.log(2.0)
-                     + (.5 / p) * (math.log(Cp)
-                                   + d2 + math.log1p(-math.exp(-d2))))
+            # log(expm1(d2)): expm1 directly while it is representable
+            # (accurate for tiny d2, where exp(-d2) rounds to 1.0 and the
+            # log1p form would hit a domain error), switching to the
+            # asymptotic form d2 + log1p(-exp(-d2)) before expm1 overflows
+            if d2 < 700.0:
+                log_em1 = math.log(math.expm1(d2))
+            else:
+                log_em1 = d2 + math.log1p(-math.exp(-d2))
+            log_w = math.log(2.0) + (.5 / p) * (math.log(Cp) + log_em1)
             try:
                 w = math.exp(log_w)
             except OverflowError:  # vacuous bound

@@ -172,9 +172,12 @@ def _make_adagrad_step(obj, n_iters, window, learning_rate, epsilon,
         i, rng_or_draws = xs
         param, wstate = carry
         value, grad, log_norm = obj(param, rng_or_draws)
-        # a float64 model (x64 data) may emit float64 grad/log_norm while
-        # the param and window ring buffers carry float32; optimizer state
-        # stays in the param dtype
+        # a float64 model (x64 data) may emit float64 outputs while the
+        # param and window ring buffers carry float32; optimizer state and
+        # emitted histories stay in the param dtype (this also keeps the
+        # whole-run and segmented/checkpoint drivers bit-identical — the
+        # segment templates are allocated in the param dtype)
+        value = value.astype(dtype)
         grad = grad.astype(dtype)
         log_norm = log_norm.astype(dtype)
         wstate, accum_sum = _window_accum(wstate, i, grad, log_norm, window)
@@ -300,8 +303,11 @@ def _make_chain_step(obj, kind, n_iters, learning_rate, epsilon,
         i, rng_or_draws = xs
         param, v, m, avg = carry
         value, grad, log_norm = obj(param, rng_or_draws)
-        # keep optimizer state in the param dtype even when a float64 model
-        # (x64 data) emits float64 grad/log_norm
+        # keep optimizer state and emitted histories in the param dtype even
+        # when a float64 model (x64 data) emits float64 outputs; the
+        # segmented/checkpoint drivers allocate their history templates in
+        # the param dtype, and bit-identity across drivers is guaranteed
+        value = value.astype(dtype)
         grad = grad.astype(dtype)
         log_norm = log_norm.astype(dtype)
         lr = learning_rate_schedule(i, n_iters, learning_rate,

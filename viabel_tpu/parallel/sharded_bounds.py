@@ -58,9 +58,10 @@ def _central_moments_from_locals(samples_local, n_total, axis):
     nf = jnp.asarray(n_total, samples_local.dtype)
     mean = jax.lax.psum(jnp.sum(samples_local, axis=0), axis) / nf
     c = samples_local - mean
+    norm2 = jnp.sum(c ** 2, axis=1)
     return dict(
-        C2=jax.lax.psum(jnp.sum(c ** 2), axis) / nf,
-        C4=jax.lax.psum(jnp.sum(jnp.sum(c ** 4, axis=1)), axis) / nf,
+        C2=jax.lax.psum(jnp.sum(norm2), axis) / nf,
+        C4=jax.lax.psum(jnp.sum(norm2 ** 2), axis) / nf,
         cov=jax.lax.psum(c.T @ c, axis) / (nf - 1),
     )
 

@@ -148,8 +148,11 @@ def _pipeline_core(obj, var_family, log_density, n_iters, n_bound_samples,
         # (d, d) sample covariance (q_cov comes from the family closed form)
         x = jnp.atleast_2d(samples.T).T
         c = x - jnp.mean(x, axis=0, keepdims=True)
-        moments = {2: jnp.mean(jnp.sum(c ** 2, axis=1)),
-                   4: jnp.mean(jnp.sum(c ** 4, axis=1))}
+        norm2 = jnp.sum(c ** 2, axis=1)
+        # C4 is the norm moment E[||c||^4], matching the closed forms
+        # (the reference's empirical fallback drops the cross terms — a
+        # bug fixed in bounds.central_moments, see PARITY.md)
+        moments = {2: jnp.mean(norm2), 4: jnp.mean(norm2 ** 2)}
 
     slw, khat = _psislw_1d(lw, tail_len)
     psis_mean, psis_cov = weighted_moments(samples, slw)

@@ -209,9 +209,17 @@ def _make_handler(service):
                     self._json(service.moments())
                 elif url.path == '/sample':
                     n = min(int(q.get('n', ['1'])[0]), 1000000)
+                    if n <= 0:
+                        return self._json(dict(
+                            error='n must be positive, got {}'.format(n)),
+                            400)
                     self._json(dict(samples=service.sample(n).tolist()))
                 elif url.path == '/bounds':
                     n = min(int(q.get('n', ['100000'])[0]), 10000000)
+                    if n < 2:  # PSIS khat needs at least two log-weights
+                        return self._json(dict(
+                            error='n must be at least 2, got {}'.format(n)),
+                            400)
                     self._json(service.bounds(n))
                 else:
                     self._json(dict(error='unknown endpoint'), 404)
