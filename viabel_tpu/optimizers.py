@@ -174,9 +174,13 @@ def _make_adagrad_step(obj, n_iters, window, learning_rate, epsilon,
         value, grad, log_norm = obj(param, rng_or_draws)
         # a float64 model (x64 data) may emit float64 outputs while the
         # param and window ring buffers carry float32; optimizer state and
-        # emitted histories stay in the param dtype (this also keeps the
-        # whole-run and segmented/checkpoint drivers bit-identical — the
-        # segment templates are allocated in the param dtype)
+        # emitted histories stay in the param dtype (the segmented/
+        # checkpoint driver allocates its history templates in the param
+        # dtype, so both drivers record the same dtypes; for exact
+        # whole-run/resumable trajectory correspondence also pass
+        # ``unroll=1`` to `adagrad_optimize` — its default unroll=4 lets
+        # XLA fuse across iterations differently than the resumable
+        # driver's plain scan, which can differ in the low bits)
         value = value.astype(dtype)
         grad = grad.astype(dtype)
         log_norm = log_norm.astype(dtype)
@@ -429,12 +433,12 @@ def _chains_segment(obj, kind, n_iters, learning_rate, epsilon,
     return jax.vmap(one_chain)(params, v, m, avg, keys)
 
 
-def _segment_progress(i_done, n_iters, values, n_chains):
+def _segment_progress(i_done, n_iters, tail_values):
     """Reference-style running-average-loss progress line
     (reference: viabel/vb.py:469-473, 631-635 print
-    ``Average Loss = mean(value_history[i-1000:i+1])`` via tqdm)."""
-    lo = max(0, (i_done - 1000) * n_chains)
-    avg_loss = float(np.mean(values[lo:i_done * n_chains]))
+    ``Average Loss = mean(value_history[i-1000:i+1])`` via tqdm).
+    `tail_values` holds only the trailing ~1000 iterations' losses."""
+    avg_loss = float(np.mean(tail_values))
     print('\r  iter {:>7d}/{} | average loss = {:<12,.6g}'.format(
         i_done, n_iters, avg_loss),
         end='' if i_done < n_iters else '\n', flush=True)
@@ -442,7 +446,8 @@ def _segment_progress(i_done, n_iters, values, n_chains):
 
 def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
                           learning_rate_end, inits, keys, hist_cap,
-                          avg_start, save_every, checkpoint_path, progress):
+                          avg_start, save_every, checkpoint_path, progress,
+                          mesh=None):
     """Segmented chains driver: progress reporting, checkpoint/resume, and
     interrupt-safe partial results.
 
@@ -486,6 +491,15 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
     v = jnp.asarray(state['v'])
     m = jnp.asarray(state['m'])
     avg = jnp.asarray(state['avg'])
+    if mesh is not None:
+        # the host round-trip through the checkpoint template dropped the
+        # chain-axis placement; restore it so the jitted segments partition
+        # chains over the mesh exactly like the whole-run driver (`keys`
+        # never round-trips and keeps its placement from the caller)
+        from jax.sharding import NamedSharding, PartitionSpec
+        sharding = NamedSharding(mesh, PartitionSpec('chain', None))
+        params, v, m, avg = (jax.device_put(x, sharding)
+                             for x in (params, v, m, avg))
 
     i = start
     try:
@@ -515,11 +529,16 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
                 save_checkpoint(checkpoint_path, state)
             if progress:
                 _segment_progress(
-                    i, n_iters,
-                    state['values'][:, :i].T.reshape(-1), n_chains)
+                    i, n_iters, state['values'][:, max(i - 1000, 0):i])
     except KeyboardInterrupt:
         if progress:
             print()
+        if i == 0:
+            # interrupted before the first segment completed (likely during
+            # its compile): there are no partial results to return, and the
+            # empty history would crash the R-hat post-pass — propagate the
+            # interrupt instead
+            raise
         # partial results: truncate to completed iterations (reference:
         # viabel/vb.py:476-481, 638-643 return partial histories)
 
@@ -624,7 +643,7 @@ def _ia_optimize(kind, perturb_scale, n_iters, objective_and_grad,
          _i_done) = _chains_run_segmented(
             obj, kind, n_iters, learning_rate, epsilon, learning_rate_end,
             inits, chain_keys, hist_cap, avg_start, save_every,
-            checkpoint_path, progress)
+            checkpoint_path, progress, mesh=mesh)
     else:
         (values, log_norms, chains), final_params, avg_params = _chains_run(
             obj, kind, n_iters, learning_rate, epsilon, learning_rate_end,

@@ -102,9 +102,9 @@ def _result_dict(var_family, values, log_norms, opt_param, stats, moments,
 
 # order of the scalar pack fetched to the host in ONE transfer (each
 # individual device->host scalar fetch pays the tunnel's dispatch-latency
-# floor; see CLAUDE.md / benchmarks/pallas_study.py)
-_PACK_FIELDS = ('log_rescale', 'mean_rescaled_alpha', 'std_rescaled_alpha',
-                'mean_lw', 'std_lw')
+# floor; see CLAUDE.md / benchmarks/pallas_study.py); the field list is
+# owned by bounds.log_weight_stats so the two modules cannot drift
+from .bounds import _STAT_KEYS as _PACK_FIELDS
 
 
 def _pack_host_scalars(stats, moments, khat, q_cov):
@@ -115,11 +115,12 @@ def _pack_host_scalars(stats, moments, khat, q_cov):
 
 def _unpack_host_scalars(pack, n, dim):
     pack = np.asarray(pack)
-    head = [float(v) for v in pack[:8]]
-    stats = dict(zip(_PACK_FIELDS, head[:5]), n=n)
-    moments = {2: head[5], 4: head[6]}
-    q_cov = pack[8:].reshape(dim, dim)
-    return stats, moments, head[7], q_cov
+    nf = len(_PACK_FIELDS)
+    head = [float(v) for v in pack[:nf + 3]]
+    stats = dict(zip(_PACK_FIELDS, head[:nf]), n=n)
+    moments = {2: head[nf], 4: head[nf + 1]}
+    q_cov = pack[nf + 3:].reshape(dim, dim)
+    return stats, moments, head[nf + 2], q_cov
 
 
 def _pipeline_core(obj, var_family, log_density, n_iters, n_bound_samples,

@@ -40,12 +40,16 @@ class PosteriorService:
     and `/fit` admits at most `max_distinct_fit_configs` distinct
     (n_iters, n_mc, n_bound, lr, lr_end) tuples — each distinct tuple
     compiles and permanently caches a pipeline executable, so an unbounded
-    variety would grow server memory without limit.
+    variety would grow server memory without limit.  `/fit`'s total draw
+    volume is also bounded: the presampled pipeline materializes an
+    ``(n_iters, n_mc_samples, dim)`` array, so ``n_iters * n_mc_samples``
+    is capped at `max_fit_evals` to keep one request from exhausting
+    device memory.
     """
 
     def __init__(self, model, family, var_param, seed=0,
                  max_fit_iters=200000, max_bound_samples=4000000,
-                 max_distinct_fit_configs=8):
+                 max_distinct_fit_configs=8, max_fit_evals=20000000):
         import jax
         import jax.numpy as jnp
         self.model = model
@@ -53,6 +57,7 @@ class PosteriorService:
         self.var_param = jnp.asarray(var_param)
         self.max_fit_iters = int(max_fit_iters)
         self.max_bound_samples = int(max_bound_samples)
+        self.max_fit_evals = int(max_fit_evals)
         self.max_distinct_fit_configs = int(max_distinct_fit_configs)
         self._fit_configs = set()
         self._key = jax.random.PRNGKey(seed)
@@ -138,6 +143,12 @@ class PosteriorService:
             raise ValueError('n_bound_samples {} exceeds the service '
                              'limit {}'.format(n_bound_samples,
                                                self.max_bound_samples))
+        if n_iters * n_mc_samples > self.max_fit_evals:
+            raise ValueError(
+                'n_iters * n_mc_samples = {} exceeds the service limit {} '
+                '(the presampled pipeline materializes an (n_iters, '
+                'n_mc_samples, dim) draw array)'.format(
+                    n_iters * n_mc_samples, self.max_fit_evals))
         lr = float(learning_rate)
         lr_end = None if learning_rate_end is None else float(
             learning_rate_end)
