@@ -65,6 +65,28 @@ def main(quick=False, cpu=False):
         ('funnel CHIVI khat', fmt(fu_out['khat_chivi']), '0.894'),
     ]
 
+    print('\n== normal mixture ==', flush=True)
+    import examples.normal_mixture as nm
+    nm_out = nm.main(full=not quick)
+    rows += [
+        ('normal-mixture samples-only W2', fmt(nm_out['samples_only']['W2']),
+         '6.08'),
+        ('normal-mixture samples-only d2', fmt(nm_out['samples_only']['d2']),
+         '0.768'),
+        ('normal-mixture samples-only mean_error',
+         fmt(nm_out['samples_only']['mean_error']), '4.79'),
+        ('normal-mixture q_var+log_norm W2', fmt(nm_out['q_var_lnb']['W2']),
+         '4.41'),
+        ('normal-mixture q_var+log_norm d2', fmt(nm_out['q_var_lnb']['d2']),
+         '0.277'),
+        ('normal-mixture q_var+log_norm mean_error',
+         fmt(nm_out['q_var_lnb']['mean_error']), '2.52'),
+        ('normal-mixture analytic-moment W2', fmt(nm_out['analytic_mb']['W2']),
+         '2.72'),
+        ('normal-mixture analytic-moment mean_error',
+         fmt(nm_out['analytic_mb']['mean_error']), '2.72'),
+    ]
+
     print('\n== eight schools ==', flush=True)
     es_out = es.main(full=not quick)
     rows += [

@@ -1,40 +1,57 @@
 """Normal-mixture bounds workload
 (reference: notebooks/normal-mixture.ipynb): bounds-only usage of the core
-API — no optimization, log-weights supplied directly."""
+API — no optimization, log-weights supplied directly.
+
+q = N(0, 5) approximating the bimodal p = 0.5 N(-2,1) + 0.5 N(2,1)
+(reference: normal-mixture.ipynb cells 2-8).  Three bound configurations:
+samples only (empirical moments), with the known q variance and the exact
+log normalizer, and with the analytic Gaussian moment bound function
+(reference W2 = 6.08 / 4.41 / 2.72, cells 10/12/14).
+"""
 import sys
 
 sys.path.insert(0, '.')
 
 import numpy as np
 from scipy.special import factorial2
-from scipy.stats import norm
 
 from viabel_tpu import all_bounds
 from viabel_tpu.experiments import print_bounds
 
 
-def main():
-    q_var = 5
-    q = norm(scale=np.sqrt(q_var))
-    log_q = q.logpdf
-    log_p = lambda x: np.logaddexp(norm.logpdf(x, loc=-2),
-                                   norm.logpdf(x, loc=2)) - np.log(2)
+def main(full=False):
+    import jax
+    import jax.numpy as jnp
 
-    np.random.seed(918)
-    samples = q.rvs(50000)
-    log_weights = log_p(samples) - log_q(samples)
+    q_var = 5.0
+    n = 1000000 if full else 50000
+    # draws and densities on device (the host CPU is too slow for
+    # numpy/scipy at 1e6 scale; CLAUDE.md)
+    # default dtype: f64 under the test suite's x64 config, f32 otherwise
+    # (the bound statistics are max-rescaled, stable in either)
+    samples = jnp.sqrt(q_var) * jax.random.normal(
+        jax.random.PRNGKey(918), (n,))
+    log_q = (-0.5 * samples ** 2 / q_var
+             - 0.5 * jnp.log(2 * jnp.pi * q_var))
+    log_p = jnp.logaddexp(-0.5 * (samples + 2) ** 2,
+                          -0.5 * (samples - 2) ** 2) \
+        - 0.5 * jnp.log(2 * jnp.pi) - jnp.log(2.0)
+    log_weights = log_p - log_q
 
     print('== samples only (reference W2 = 6.08) ==')
-    print_bounds(all_bounds(log_weights, samples))
+    res1 = all_bounds(log_weights, samples)
+    print_bounds(res1)
 
     print('\n== + q_var and log_norm_bound = 0 (reference W2 = 4.41) ==')
-    print_bounds(all_bounds(log_weights, samples, q_var=q_var,
-                            log_norm_bound=0))
+    res2 = all_bounds(log_weights, samples, q_var=q_var, log_norm_bound=0)
+    print_bounds(res2)
 
     print('\n== analytic moment bound fn (reference W2 = 2.72) ==')
     mb = lambda order: factorial2(order - 1) ** (1 / order) * np.sqrt(q_var)
-    print_bounds(all_bounds(log_weights, moment_bound_fn=mb, q_var=q_var))
+    res3 = all_bounds(log_weights, moment_bound_fn=mb, q_var=q_var)
+    print_bounds(res3)
+    return dict(samples_only=res1, q_var_lnb=res2, analytic_mb=res3)
 
 
 if __name__ == '__main__':
-    main()
+    main(full='--full' in sys.argv[1:])

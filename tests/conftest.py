@@ -32,3 +32,10 @@ def pytest_collection_modifyitems(config, items):
     config.addinivalue_line(
         'filterwarnings',
         'ignore::viabel_tpu.bounds.MonteCarloErrorWarning')
+    # The one-time many-distinct-objectives warning counts instances
+    # process-wide; a test session legitimately constructs dozens across
+    # tests, so whichever test happens to cross the threshold would leak
+    # it.  Its own unit test opts back in with pytest.warns.
+    config.addinivalue_line(
+        'filterwarnings',
+        'ignore:.*distinct objective instances.*:UserWarning')

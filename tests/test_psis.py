@@ -136,10 +136,22 @@ def test_sumlogs():
     np.testing.assert_allclose(float(sumlogs(x)), 1000.0 + np.log(2.0))
 
 
-def test_psisloo_shapes():
+def test_psisloo_matches_reference():
+    """Value oracle: the reference psisloo (notebooks/psis.py:68-109) run
+    once on this exact deterministic log-lik matrix produced these
+    outputs; ours must agree to float precision."""
     key = jax.random.PRNGKey(3)
     log_lik = -0.5 * jax.random.normal(key, (2000, 5), dtype=jnp.float64) ** 2
     loo, loos, ks = psisloo(log_lik)
     assert loos.shape == (5,)
     assert ks.shape == (5,)
     np.testing.assert_allclose(float(jnp.sum(loos)), loo, rtol=1e-10)
+    np.testing.assert_allclose(float(loo), -5.358254803347489, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(loos),
+        [-1.02782436, -1.24493741, -1.14638693, -0.91675027, -1.02235584],
+        atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(ks),
+        [0.77351414, 0.82808595, 0.98846316, 0.65742325, 0.69506118],
+        atol=1e-7)
