@@ -30,16 +30,29 @@ def test_config_builds_all_models(model_name):
     cfg = ExperimentConfig(model=model_name, n_mc=10)
     model, family, objective = build(cfg)
     assert family.dim == model.dim
-    out = objective(family.init_param(), jax.random.PRNGKey(0))
+    # configs default to the presampled fast path: direct calls consume
+    # base_sample draws, and a PRNG key is rejected (not silently
+    # broadcast into the transform)
+    assert objective.presampled
+    draws = family.base_sample(jax.random.PRNGKey(0), 10)
+    out = objective(family.init_param(), draws)
     assert np.isfinite(float(out[0]))
+    with pytest.raises(TypeError, match='presampled'):
+        objective(family.init_param(), jax.random.PRNGKey(0))
 
 
 def test_config_builds_all_objectives():
     for obj_name in ('klvi', 'klvi_pd', 'klvi_pd2', 'chivi', 'chivi_neff'):
         cfg = ExperimentConfig(model='funnel', objective=obj_name, n_mc=10)
         _, family, objective = build(cfg)
-        out = objective(family.init_param(), jax.random.PRNGKey(0))
+        draws = family.base_sample(jax.random.PRNGKey(0), 10)
+        out = objective(family.init_param(), draws)
         assert np.isfinite(float(out[0]))
+    # key-consuming construction still available by config
+    cfg = ExperimentConfig(model='funnel', presampled=False, n_mc=10)
+    _, family, objective = build(cfg)
+    out = objective(family.init_param(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(out[0]))
 
 
 def test_cli_run_smoke(capsys):

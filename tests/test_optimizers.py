@@ -53,6 +53,12 @@ def test_learning_rate_schedule_validation():
         learning_rate_schedule(0, 100, np.float32(-0.5))
     with pytest.raises(ValueError):
         learning_rate_schedule(0, 100, jnp.asarray(.001), .01)
+    # learning_rate_end <= 0 freezes the final quarter (lr = 0) or puts
+    # the harmonic pole inside the decay phase (negative rates) — rejected
+    with pytest.raises(ValueError):
+        learning_rate_schedule(0, 100, .01, 0.0)
+    with pytest.raises(ValueError):
+        learning_rate_schedule(0, 100, .01, -.001)
     # traced rates defer validation to the caller (the sweep runner)
     out = jax.jit(lambda lr: learning_rate_schedule(5, 100, lr))(0.02)
     assert float(out) == 0.02

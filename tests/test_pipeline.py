@@ -365,9 +365,13 @@ def test_sweep_validates_inputs():
     with pytest.raises(ValueError, match='positive'):
         validated_vi_sweep(model.log_prob, fam, init, 100,
                            learning_rates=[0.01, -0.1])
-    with pytest.raises(ValueError, match='exceed'):
+    with pytest.raises(ValueError, match='end rate'):
         validated_vi_sweep(model.log_prob, fam, init, 100,
                            learning_rates=[0.01], learning_rate_ends=[0.02])
+    # end rates <= 0 freeze or sign-flip the schedule — rejected too
+    with pytest.raises(ValueError, match='end rate'):
+        validated_vi_sweep(model.log_prob, fam, init, 100,
+                           learning_rates=[0.01], learning_rate_ends=[0.0])
     with pytest.raises(ValueError, match='match'):
         validated_vi_sweep(model.log_prob, fam, init, 100,
                            learning_rates=[0.01, 0.02],

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .optimizers import _make_adagrad_step, _wrap_objective, _WindowState
+from .optimizers import _adagrad_segment, _wrap_objective, _WindowState
 
 __all__ = ['save_checkpoint', 'load_checkpoint', 'load_checkpoint_entry',
            'adagrad_optimize_resumable']
@@ -109,7 +109,6 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
         key = jax.random.PRNGKey(0)
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
-    dtype = init_param.dtype
     P = init_param.shape[0]
 
     template = dict(
@@ -133,27 +132,12 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
     wstate = _WindowState(jnp.asarray(state['grads']),
                           jnp.asarray(state['log_norms']))
 
-    presampled = getattr(obj, 'presampled', False)
-    step = _make_adagrad_step(obj, n_iters, window, learning_rate, epsilon,
-                              learning_rate_end, dtype)
-
-    def segment(param, wstate, i0, length):
-        iters = jnp.arange(length) + i0
-        if presampled:
-            xs = (iters, obj.make_draws_range(key, i0, length, dtype))
-        else:
-            xs = (iters,
-                  jax.vmap(lambda i: jax.random.fold_in(key, i))(iters))
-        (param, wstate), ys = jax.lax.scan(step, (param, wstate), xs)
-        return param, wstate, ys
-
-    segment = jax.jit(segment, static_argnames=('length',))
-
     i = start
     while i < n_iters:
         length = min(save_every, n_iters - i)
-        param, wstate, (vals, lns, params_seg) = segment(param, wstate, i,
-                                                         length)
+        param, wstate, (vals, lns, params_seg) = _adagrad_segment(
+            obj, n_iters, window, learning_rate, epsilon, learning_rate_end,
+            length, jnp.asarray(i), param, wstate, key)
         state['values'][i:i + length] = np.asarray(vals)
         state['lns'][i:i + length] = np.asarray(lns)
         state['params'][i:i + length] = np.asarray(params_seg)

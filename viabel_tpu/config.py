@@ -50,6 +50,10 @@ class ExperimentConfig:
     objective: str = 'klvi'
     alpha: float = 2.0
     n_mc: int = 100
+    # pre-generate all per-iteration draws outside the optimizer scan (the
+    # library default; substantially faster, costs an (n_iters, n_mc, dim)
+    # draw array — disable for very long runs on tight device memory)
+    presampled: bool = True
     optimizer: str = 'adagrad'
     n_iters: int = 5000
     learning_rate: float = 0.01
@@ -101,18 +105,22 @@ def build(cfg):
     else:
         family = fam_mod.t_variational_family(model.dim, cfg.df)
 
+    ps = cfg.presampled
     if cfg.objective == 'klvi':
-        objective = obj_mod.black_box_klvi(family, model.log_prob, cfg.n_mc)
+        objective = obj_mod.black_box_klvi(family, model.log_prob, cfg.n_mc,
+                                           presampled=ps)
     elif cfg.objective == 'klvi_pd':
         objective = obj_mod.black_box_klvi_pd(family, model.log_prob,
-                                              cfg.n_mc)
+                                              cfg.n_mc, presampled=ps)
     elif cfg.objective == 'klvi_pd2':
         objective = obj_mod.black_box_klvi_pd2(family, model.log_prob,
-                                               cfg.n_mc)
+                                               cfg.n_mc, presampled=ps)
     elif cfg.objective == 'chivi':
         objective = obj_mod.black_box_chivi(cfg.alpha, family,
-                                            model.log_prob, cfg.n_mc)
+                                            model.log_prob, cfg.n_mc,
+                                            presampled=ps)
     else:
         objective = obj_mod.black_box_chivi_neff(cfg.alpha, family,
-                                                 model.log_prob, cfg.n_mc)
+                                                 model.log_prob, cfg.n_mc,
+                                                 presampled=ps)
     return model, family, objective

@@ -197,8 +197,10 @@ def improve_with_psis_sharded(log_density, var_family, var_param, n_samples,
         key = jax.random.PRNGKey(0)
     _, lw, samples = sharded_all_bounds(
         log_density, var_family, var_param, n_samples, key, mesh,
-        moment_bound_fn=lambda p: var_family.pth_moment(
-            jnp.asarray(var_param), p),
+        # both closed-form moments in one cached program + one fetch (an
+        # eager per-order lambda would pay a dispatch floor per call)
+        moment_bound_fn=family_moment_bounds(var_family,
+                                             jnp.asarray(var_param)),
         return_log_weights=True, return_samples=True)
     slw, khat = psislw_sharded(lw, mesh)
     mean, cov = sharded_psis_moments(samples, slw, mesh)

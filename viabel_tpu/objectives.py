@@ -88,10 +88,8 @@ def black_box_klvi(var_family, log_density, n_samples, presampled=False):
     """
 
     def objective(var_param, rng_or_draws):
-        if presampled:
-            samples = var_family.transform(var_param, rng_or_draws)
-        else:
-            samples = var_family.sample(rng_or_draws, var_param, n_samples)
+        samples = _sample_or_transform(var_family, n_samples, presampled,
+                                       var_param, rng_or_draws)
         lower_bound = (var_family.entropy(var_param)
                        + jnp.mean(log_density(samples)))
         return -lower_bound
@@ -107,6 +105,22 @@ def black_box_klvi(var_family, log_density, n_samples, presampled=False):
 def _sample_or_transform(var_family, n_samples, presampled, var_param,
                          rng_or_draws):
     if presampled:
+        # a presampled objective consumes base_sample output (floating
+        # draws), not a PRNG key; catch the mixed-convention call eagerly —
+        # for low-dim families a (2,)-shaped uint32 key would otherwise
+        # broadcast into the transform and compute garbage silently
+        bad = [jnp.asarray(leaf).dtype
+               for leaf in jax.tree.leaves(rng_or_draws)
+               if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)]
+        if bad:
+            raise TypeError(
+                'this objective was built with presampled=True and consumes '
+                'pre-generated standard draws (floating point), but '
+                'received dtype(s) {} — looks like a PRNG key.  Optimizers '
+                'feed draws automatically (obj.make_draws); for direct '
+                'calls pass var_family.base_sample(key, n_samples), or '
+                'rebuild the objective with presampled=False to consume '
+                'keys'.format(bad))
         return var_family.transform(var_param, rng_or_draws)
     return var_family.sample(rng_or_draws, var_param, n_samples)
 
@@ -174,10 +188,8 @@ def black_box_chivi(alpha, var_family, log_density, n_samples,
     """
 
     def compute_log_weights(var_param, rng_or_draws):
-        if presampled:
-            samples = var_family.transform(var_param, rng_or_draws)
-        else:
-            samples = var_family.sample(rng_or_draws, var_param, n_samples)
+        samples = _sample_or_transform(var_family, n_samples, presampled,
+                                       var_param, rng_or_draws)
         return log_density(samples) - var_family.log_prob(var_param, samples)
 
     def objective_grad_and_log_norm(var_param, key):

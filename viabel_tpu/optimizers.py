@@ -54,13 +54,17 @@ def learning_rate_schedule(i, n_iters, learning_rate, learning_rate_end=None):
     try:
         if learning_rate <= 0:
             raise ValueError('learning rate must be positive')
+        # learning_rate_end <= 0 would freeze the final quarter (lr = 0)
+        # or put the harmonic pole b inside the decay phase (negative and
+        # sign-flipping rates) — reject it, don't let the run silently
+        # stall or diverge
         bad_end = (learning_rate_end is not None
-                   and learning_rate <= learning_rate_end)
+                   and not (0 < learning_rate_end < learning_rate))
     except jax.errors.TracerBoolConversionError:
         bad_end = False  # traced rates: validated by the caller
     if bad_end:
-        raise ValueError('initial learning rate must be greater than final '
-                         'learning rate')
+        raise ValueError('final learning rate must satisfy '
+                         '0 < learning_rate_end < learning_rate')
     if learning_rate_end is None:
         return jnp.asarray(learning_rate)
     b = n_iters * learning_rate_end / (2 * (learning_rate - learning_rate_end))
@@ -431,6 +435,26 @@ def _chains_segment(obj, kind, n_iters, learning_rate, epsilon,
         return carry, ys
 
     return jax.vmap(one_chain)(params, v, m, avg, keys)
+
+
+@partial(jax.jit, static_argnames=('obj', 'n_iters', 'window',
+                                   'learning_rate', 'epsilon',
+                                   'learning_rate_end', 'length'))
+def _adagrad_segment(obj, n_iters, window, learning_rate, epsilon,
+                     learning_rate_end, length, i0, param, wstate, key):
+    """One compiled segment of the windowed-adagrad run: iterations
+    [i0, i0+length).
+
+    Module-level jit with the objective static (the `_chains_segment`
+    pattern) so every call of the resumable driver — including each resume
+    of the same run — reuses the cached executable instead of re-tracing;
+    `i0` is traced so equal-length segments share one program."""
+    dtype = param.dtype
+    step = _make_adagrad_step(obj, n_iters, window, learning_rate, epsilon,
+                              learning_rate_end, dtype)
+    xs = _chain_xs(obj, key, i0, length, dtype)
+    (param, wstate), ys = jax.lax.scan(step, (param, wstate), xs)
+    return param, wstate, ys
 
 
 def _segment_progress(i_done, n_iters, tail_values):

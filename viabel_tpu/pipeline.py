@@ -495,8 +495,9 @@ def validated_vi_sweep(log_density, var_family, init_param, n_iters, *,
         lr_ends = np.asarray(learning_rate_ends, dtype=np.float64)
         if lr_ends.shape != lrs.shape:
             raise ValueError('learning_rate_ends must match learning_rates')
-        if np.any(lrs <= lr_ends):
-            raise ValueError('each learning rate must exceed its end rate')
+        if np.any(lr_ends <= 0) or np.any(lrs <= lr_ends):
+            raise ValueError('each end rate must satisfy '
+                             '0 < learning_rate_end < learning_rate')
     tail_len = _tail_len(n_bound_samples, 1.0)
     runner = _sweep_runner(obj, var_family, log_density, n_iters,
                            n_bound_samples, window, epsilon, alpha, unroll,

@@ -172,10 +172,13 @@ class PosteriorService:
                                n_bound_samples=n_bound_samples,
                                key=self._next_key(),
                                learning_rate=lr, learning_rate_end=lr_end)
-        except BaseException:
-            # A fit that fails (typically hyperparameter validation raised
-            # during tracing, before anything compiled) must not consume
-            # one of the bounded config slots permanently.
+        except (ValueError, TypeError):
+            # Validation / trace-time errors are raised before anything
+            # compiled, so the config slot can be returned.  Failures from
+            # later stages (device OOM, runtime errors) keep their slot:
+            # the compiled executable may already be cached, and freeing
+            # the slot would let repeated fail-after-compile requests grow
+            # the compiled-program cache past max_distinct_fit_configs.
             if is_new_cfg:
                 with self._lock:
                     self._fit_configs.discard(cfg)
@@ -234,6 +237,8 @@ def _make_handler(service):
                     self._json(service.bounds(n))
                 else:
                     self._json(dict(error='unknown endpoint'), 404)
+            except (ValueError, TypeError) as e:  # malformed client input
+                self._json(dict(error=str(e)), 400)
             except Exception as e:  # surface errors as JSON, keep serving
                 self._json(dict(error=str(e)), 500)
 
@@ -249,7 +254,11 @@ def _make_handler(service):
                     x = payload.get('x')
                     if x is None:
                         return self._json(dict(error='missing "x"'), 400)
-                    self._json(dict(log_prob=service.log_prob(x).tolist()))
+                    try:
+                        lp = service.log_prob(x)
+                    except (ValueError, TypeError) as e:  # non-numeric x
+                        return self._json(dict(error=str(e)), 400)
+                    self._json(dict(log_prob=lp.tolist()))
                 elif url.path == '/fit':
                     allowed = {'n_iters', 'n_mc_samples', 'n_bound_samples',
                                'learning_rate', 'learning_rate_end'}
@@ -264,6 +273,8 @@ def _make_handler(service):
                         self._json(dict(error=str(e)), 400)
                 else:
                     self._json(dict(error='unknown endpoint'), 404)
+            except (ValueError, TypeError) as e:  # malformed JSON/input
+                self._json(dict(error=str(e)), 400)
             except Exception as e:
                 self._json(dict(error=str(e)), 500)
 
