@@ -180,17 +180,22 @@ def test_posterior_service_endpoints():
         # invalid sample/bounds sizes are rejected with 400, not silently
         # truncated to empty results or surfaced as 500s
         for bad_url in ('/sample?n=0', '/sample?n=-3', '/bounds?n=1',
-                        '/bounds?n=-1'):
+                        '/bounds?n=-1',
+                        # malformed input is a client error, not a 500
+                        '/sample?n=abc', '/bounds?n=1e6'):
             with pytest.raises(urllib.error.HTTPError) as e:
                 urllib.request.urlopen(base + bad_url)
             assert e.value.code == 400, bad_url
         # error paths
-        bad = urllib.request.Request(
-            base + '/log_prob', data=b'{}',
-            headers={'Content-Type': 'application/json'})
-        with pytest.raises(urllib.error.HTTPError) as e:
-            urllib.request.urlopen(bad)
-        assert e.value.code == 400
+        for payload in (b'{}',                       # missing "x"
+                        b'{"x": ["not", "numbers"]}',  # non-numeric x
+                        b'{bad json'):               # malformed JSON
+            bad = urllib.request.Request(
+                base + '/log_prob', data=payload,
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(bad)
+            assert e.value.code == 400, payload
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(base + '/nope')
         assert e.value.code == 404
