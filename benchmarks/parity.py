@@ -81,10 +81,18 @@ def main(quick=False, cpu=False):
          '0.277'),
         ('normal-mixture q_var+log_norm mean_error',
          fmt(nm_out['q_var_lnb']['mean_error']), '2.52'),
-        ('normal-mixture analytic-moment W2', fmt(nm_out['analytic_mb']['W2']),
-         '2.72'),
-        ('normal-mixture analytic-moment mean_error',
-         fmt(nm_out['analytic_mb']['mean_error']), '2.72'),
+        # the notebook's analytic configuration supplies the a-th ROOT of
+        # the moment where wasserstein_bounds consumes the raw moment
+        # (normal-mixture.ipynb cell 6 vs viabel/bounds.py:118-120), so its
+        # published 2.72 is not a valid bound; with the correct analytic
+        # moments the bound agrees with the samples-only estimate (as it
+        # must — same moments).  Both rows recorded: corrected vs the
+        # empirical reference, and bug-replicating input for machinery
+        # parity.  See PARITY.md.
+        ('normal-mixture analytic-moment (corrected) W2',
+         fmt(nm_out['analytic_mb']['W2']), '6.08 (empirical)'),
+        ('normal-mixture analytic-moment (ref rooted input) W2',
+         fmt(nm_out['analytic_mb_ref_input']['W2']), '2.72'),
     ]
 
     print('\n== eight schools ==', flush=True)

@@ -46,11 +46,25 @@ def main(full=False):
     res2 = all_bounds(log_weights, samples, q_var=q_var, log_norm_bound=0)
     print_bounds(res2)
 
-    print('\n== analytic moment bound fn (reference W2 = 2.72) ==')
-    mb = lambda order: factorial2(order - 1) ** (1 / order) * np.sqrt(q_var)
+    print('\n== analytic moment bound fn ==')
+    # `moment_bound_fn(a)` must return the raw central moment bound
+    # E[(x-y)^a] (reference: viabel/bounds.py:118-120, used as
+    # Cp**(.5/p)).  The reference notebook instead supplies the a-th ROOT
+    # (factorial2(a-1)**(1/a) * sqrt(q_var), normal-mixture.ipynb cell 6),
+    # double-rooting the moment — its published "analytic" W2 = 2.72 is
+    # not a valid upper bound (it is below the correct W1).  Fixed here
+    # (PARITY.md); the correct analytic moments agree with the
+    # samples-only empirical estimates, as they must.
+    mb = lambda order: factorial2(order - 1) * q_var ** (order / 2)
     res3 = all_bounds(log_weights, moment_bound_fn=mb, q_var=q_var)
     print_bounds(res3)
-    return dict(samples_only=res1, q_var_lnb=res2, analytic_mb=res3)
+    # machinery parity with the notebook: feeding its (rooted) values
+    # reproduces its 2.72
+    mb_ref = lambda order: (factorial2(order - 1) ** (1 / order)
+                            * np.sqrt(q_var))
+    res3_ref = all_bounds(log_weights, moment_bound_fn=mb_ref, q_var=q_var)
+    return dict(samples_only=res1, q_var_lnb=res2, analytic_mb=res3,
+                analytic_mb_ref_input=res3_ref)
 
 
 if __name__ == '__main__':

@@ -15,6 +15,7 @@ import numpy as np
 from viabel_tpu import (adagrad_optimize, all_bounds, black_box_chivi,
                         black_box_klvi, mean_field_t_variational_family,
                         t_variational_family)
+from viabel_tpu.bounds import family_moment_bounds
 from viabel_tpu.experiments import (check_approx_accuracy,
                                     get_samples_and_log_weights,
                                     print_bounds)
@@ -26,12 +27,27 @@ def bounds_and_khat(model, fam, opt_param, n_samples, key, elbo=None):
     _, lw = get_samples_and_log_weights(model.log_prob, fam, opt_param,
                                         n_samples, key)
     cov = np.asarray(fam.mean_and_cov(opt_param)[1])
-    res = all_bounds(np.asarray(lw), q_var=cov,
-                     moment_bound_fn=lambda p: float(
-                         fam.pth_moment(opt_param, p)),
+    # lw stays on device (a bulk host fetch costs ~2 s/MB through the
+    # tunnel) and the two closed-form moments come from one cached
+    # program + one transfer (CLAUDE.md)
+    res = all_bounds(lw, q_var=cov,
+                     moment_bound_fn=family_moment_bounds(fam, opt_param),
                      log_norm_bound=elbo)
     _, khat = psislw(lw)
-    return res, float(khat), float(np.mean(np.asarray(lw)))
+    return res, float(khat), float(jnp.mean(lw))
+
+
+def timed_optimize(n_iters, obj, init, key, **kw):
+    """Compile/warm with a throwaway key, then time a steady-state run with
+    the caller's key (never interpret a first-call time as compute time —
+    remote compile takes seconds to minutes; CLAUDE.md)."""
+    warm = adagrad_optimize(n_iters, obj, init,
+                            key=jax.random.fold_in(key, 99), **kw)
+    jax.block_until_ready(warm[0])
+    t0 = time.perf_counter()
+    out = adagrad_optimize(n_iters, obj, init, key=key, **kw)
+    jax.block_until_ready(out[0])
+    return out, n_iters / (time.perf_counter() - t0)
 
 
 def main(full=False, mc_samples=None, n_iters=None):
@@ -47,12 +63,10 @@ def main(full=False, mc_samples=None, n_iters=None):
     klvi = black_box_klvi(fam, model.log_prob, 100)
     init = jnp.asarray(np.concatenate([np.zeros(2), np.ones(2)]),
                        dtype=jnp.float32)
-    t0 = time.perf_counter()
-    klvi_param, _, _, _ = adagrad_optimize(n_iters, klvi, init, key=k1,
-                                           learning_rate=.01)
-    jax.block_until_ready(klvi_param)
+    (klvi_param, _, _, _), it_s = timed_optimize(n_iters, klvi, init, k1,
+                                                 learning_rate=.01)
     print('KLVI mf-t(40): {:.0f} it/s (reference laptop 245.65)'.format(
-        n_iters / (time.perf_counter() - t0)))
+        it_s))
     check_approx_accuracy(fam, klvi_param, model.true_mean, model.true_cov,
                           verbose=True)
     res, khat, elbo = bounds_and_khat(model, fam, klvi_param, mc_samples, k2)
@@ -63,12 +77,9 @@ def main(full=False, mc_samples=None, n_iters=None):
     # --- CHIVI alpha=2, warm start (reference cells 23-30: khat 0.341) ---
     chivi = black_box_chivi(2, fam, model.log_prob, 500)
     chivi_init = jnp.asarray(np.asarray(klvi_param)).at[2:].add(3.0)
-    t0 = time.perf_counter()
-    chivi_param, _, _, _ = adagrad_optimize(n_iters, chivi, chivi_init,
-                                            key=k3, learning_rate=.01)
-    jax.block_until_ready(chivi_param)
-    print('\nCHIVI: {:.0f} it/s (reference laptop 48.70)'.format(
-        n_iters / (time.perf_counter() - t0)))
+    (chivi_param, _, _, _), it_s = timed_optimize(n_iters, chivi, chivi_init,
+                                                  k3, learning_rate=.01)
+    print('\nCHIVI: {:.0f} it/s (reference laptop 48.70)'.format(it_s))
     check_approx_accuracy(fam, chivi_param, model.true_mean, model.true_cov,
                           verbose=True)
     res, khat, _ = bounds_and_khat(model, fam, chivi_param, mc_samples, k4,
@@ -82,13 +93,11 @@ def main(full=False, mc_samples=None, n_iters=None):
     tfam = t_variational_family(2, 100)
     full_klvi = black_box_klvi(tfam, model.log_prob, 100)
     tinit = tfam.init_param()
-    t0 = time.perf_counter()
-    full_param, _, _, _ = adagrad_optimize(n_iters, full_klvi, tinit, key=k5,
-                                           learning_rate=.1,
-                                           learning_rate_end=.001)
-    jax.block_until_ready(full_param)
+    (full_param, _, _, _), it_s = timed_optimize(n_iters, full_klvi, tinit,
+                                                 k5, learning_rate=.1,
+                                                 learning_rate_end=.001)
     print('\nfull-rank KLVI: {:.0f} it/s (reference laptop 143.81)'.format(
-        n_iters / (time.perf_counter() - t0)))
+        it_s))
     check_approx_accuracy(tfam, full_param, model.true_mean, model.true_cov,
                           verbose=True)
     res, khat, _ = bounds_and_khat(model, tfam, full_param, mc_samples, k6)

@@ -236,11 +236,25 @@ def test_normal_mixture_workload():
     np.testing.assert_allclose(res2['W2'], 4.4099, rtol=1e-3)
     np.testing.assert_allclose(res2['d2'], 0.2769, rtol=1e-3)
 
-    # the notebook's analytic moment function (normal-mixture.ipynb cell 6)
-    mb = lambda order: factorial2(order - 1) ** (1 / order) * np.sqrt(q_var)
-    res3 = all_bounds(log_weights, moment_bound_fn=mb, q_var=q_var)
+    # machinery parity: feeding the notebook's analytic moment function
+    # (normal-mixture.ipynb cell 6) reproduces its published 2.72 — but
+    # that function returns the a-th ROOT of the moment where
+    # wasserstein_bounds consumes the raw moment E[(x-y)^a]
+    # (viabel/bounds.py:118-120), so 2.72 is NOT a valid bound (note it is
+    # below the correct W1); see PARITY.md
+    mb_ref = lambda order: (factorial2(order - 1) ** (1 / order)
+                            * np.sqrt(q_var))
+    res3 = all_bounds(log_weights, moment_bound_fn=mb_ref, q_var=q_var)
     np.testing.assert_allclose(res3['W2'], 2.7160, rtol=1e-3)
     np.testing.assert_allclose(res3['mean_error'], 2.7160, rtol=1e-3)
+
+    # with the correct raw moments (C2 = q_var, C4 = 3 q_var^2) the
+    # analytic bound must agree with the samples-only empirical one
+    mb = lambda order: factorial2(order - 1) * q_var ** (order / 2)
+    res4 = all_bounds(log_weights, moment_bound_fn=mb, q_var=q_var)
+    np.testing.assert_allclose(res4['W2'], res1['W2'], rtol=2e-2)
+    np.testing.assert_allclose(res4['W1'], res1['W1'], rtol=2e-2)
+    assert res4['W1'] <= res4['W2']  # valid Wasserstein ordering restored
 
 
 def test_mc_error_warning_category():
