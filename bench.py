@@ -176,6 +176,24 @@ def main():
     log('fused pipeline (10k KLVI + 2.5e6 bounds + PSIS, one dispatch): '
         '{:.3f}s (reference ~61s multi-stage)'.format(dt_fused))
 
+    # -- multistart: 8 complete validated-VI pipelines (10k-iter KLVI +
+    # 2.5e6-sample bounds + PSIS each) in ONE compiled program, best start
+    # selected by validated d2.  The reference's sequential equivalent is
+    # ~8 x 61 s.
+    from viabel_tpu import validated_vi_multistart
+
+    def multistart(r):
+        out = validated_vi_multistart(
+            model.log_prob, fam, init, 2 * N_ITERS, n_starts=8,
+            objective_and_grad=klvi, n_bound_samples=N_BOUND,
+            key=jax.random.PRNGKey(400 + r),
+            learning_rate=.01, learning_rate_end=.001)
+        return out['smoothed_log_weights']
+    dt_multi = steady_state(multistart)
+    log('multistart (8 x (10k KLVI + 2.5e6 bounds + PSIS), one dispatch): '
+        '{:.3f}s (reference ~{:.0f}s sequential)'.format(
+            dt_multi, 8 * BASE_PIPELINE_S))
+
     # -- PSIS over the 2.5e6 log-weights --
     # a distinct input per rep defeats the execution service's result
     # caching (CLAUDE.md: vary inputs per rep); reuse the already-generated
@@ -213,6 +231,11 @@ def main():
             'fused_pipeline_s': round(dt_fused, 4),
             'fused_pipeline_vs_baseline_speedup': round(
                 BASE_PIPELINE_S / dt_fused, 1),
+            # 8 complete pipelines in one program vs 8 sequential
+            # reference runs
+            'multistart8_pipeline_s': round(dt_multi, 4),
+            'multistart8_vs_baseline_speedup': round(
+                8 * BASE_PIPELINE_S / dt_multi, 1),
             # distinct keys for incomparable semantics: device time (from
             # the trace, absent if tracing failed) vs wall clock (always
             # present, includes the dispatch floor)
