@@ -130,6 +130,36 @@ def test_sharded_psislw_matches_unsharded(mesh):
                                np.asarray(smoothed_local), rtol=1e-8)
 
 
+def test_sharded_psislw_2d_columns_matches_unsharded(mesh):
+    """Column-stacked log-weights (the psisloo layout) smooth per column
+    and match the unsharded 2-D path."""
+    lw = 1.2 * jax.random.normal(jax.random.PRNGKey(11), (16000, 3),
+                                 dtype=jnp.float64)
+    s_local, k_local = psislw(lw)
+    s_sh, k_sh = psislw_sharded(shard_over(lw, mesh, 'sample'), mesh)
+    assert np.asarray(k_sh).shape == (3,)
+    np.testing.assert_allclose(np.asarray(k_sh), np.asarray(k_local),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_local),
+                               rtol=1e-8)
+
+
+def test_sharded_psisloo_matches_unsharded(mesh):
+    from viabel_tpu.psis import psisloo
+    from viabel_tpu.parallel import psisloo_sharded
+    key = jax.random.PRNGKey(3)
+    log_lik = -0.5 * jax.random.normal(key, (16000, 5),
+                                       dtype=jnp.float64) ** 2
+    loo, loos, ks = psisloo(log_lik)
+    loo_sh, loos_sh, ks_sh = psisloo_sharded(
+        shard_over(log_lik, mesh, 'sample'), mesh)
+    np.testing.assert_allclose(loo_sh, loo, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(loos_sh), np.asarray(loos),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ks_sh), np.asarray(ks),
+                               rtol=1e-10)
+
+
 def test_sharded_psislw_single_device_mesh():
     """A 1-device mesh must behave like the unsharded path (the gathered
     candidate pool must still contain the cutoff element)."""

@@ -24,12 +24,13 @@ from .mesh import make_mesh, shard_over
 from .sharded_bounds import (sharded_all_bounds, sharded_log_weight_stats,
                              sharded_sample_stats)
 from .sharded_chains import shard_chain_inputs
-from .sharded_psis import psislw_sharded, sharded_psis_moments
+from .sharded_psis import (psislw_sharded, psisloo_sharded,
+                           sharded_psis_moments)
 
 __all__ = [
     'make_mesh', 'shard_over',
     'sharded_log_weight_stats', 'sharded_sample_stats', 'sharded_all_bounds',
     'shard_chain_inputs',
-    'psislw_sharded', 'sharded_psis_moments',
+    'psislw_sharded', 'psisloo_sharded', 'sharded_psis_moments',
     'initialize_distributed', 'local_device_count', 'process_info',
 ]

@@ -29,20 +29,24 @@ from jax.sharding import PartitionSpec as P
 
 from ..psis import _tail_len, gpdfit, gpinv
 
-__all__ = ['psislw_sharded', 'sharded_psis_moments']
+__all__ = ['psislw_sharded', 'psisloo_sharded', 'sharded_psis_moments']
 
 
 @lru_cache(maxsize=64)
-def _build_psislw(mesh, axis, tail_len, cutoffmin):
+def _build_psislw(mesh, axis, tail_len, cutoffmin, ndim=1):
     """Compiled-closure cache (shard_map programs are keyed on function
     identity; a per-call closure would recompile per call — CLAUDE.md's
-    `_pad_objective` convention)."""
+    `_pad_objective` convention).
+
+    ``ndim=2`` handles column-stacked log-weight vectors (the `psisloo`
+    layout, draws x points): the single-vector body is vmapped over the
+    replicated column axis — the collectives act on the named mesh axis,
+    which is orthogonal to the vmapped one.
+    """
     # check_vma=False: the tail statistics are computed identically on every
     # device from the all_gather'ed candidates, but the replication checker
     # cannot infer that statically.
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis),
-             out_specs=(P(axis), P()), check_vma=False)
-    def smooth(lw_local):
+    def smooth_one(lw_local):
         gmax = jax.lax.pmax(jnp.max(lw_local), axis)
         x = lw_local - gmax
 
@@ -88,21 +92,61 @@ def _build_psislw(mesh, axis, tail_len, cutoffmin):
         x_new = x_new - (jnp.log(z) + m)
         return x_new, khat
 
+    if ndim == 1:
+        smooth = partial(jax.shard_map, mesh=mesh, in_specs=P(axis),
+                         out_specs=(P(axis), P()),
+                         check_vma=False)(smooth_one)
+    else:
+        @partial(jax.shard_map, mesh=mesh, in_specs=P(axis, None),
+                 out_specs=(P(axis, None), P()), check_vma=False)
+        def smooth(lw_local):
+            return jax.vmap(smooth_one, in_axes=1,
+                            out_axes=(1, 0))(lw_local)
+
     return smooth
 
 
 def psislw_sharded(log_weights, mesh, Reff=1.0, axis='sample'):
-    """PSIS over a mesh-sharded 1-D log-weight array.
+    """PSIS over a mesh-sharded log-weight array.
 
-    Returns ``(smoothed_log_weights, khat)`` with the smoothed weights still
-    sharded like the input and `khat` a replicated scalar.  Semantics match
-    `viabel_tpu.psis.psislw` (and hence the reference) up to cutoff-tie
-    ordering.
+    1-D input: returns ``(smoothed_log_weights, khat)``.  2-D input
+    (draws x columns, sharded over the draw axis): each column is smoothed
+    independently and `khat` has shape ``(n_columns,)`` — the `psisloo`
+    layout, matching `viabel_tpu.psis.psislw`'s 2-D semantics.  Smoothed
+    weights keep the input's sharding; khat is replicated.
     """
     n = log_weights.shape[0]
     tail_len = _tail_len(n, Reff)
     cutoffmin = float(np.log(np.finfo(np.dtype(log_weights.dtype)).tiny))
-    return _build_psislw(mesh, axis, tail_len, cutoffmin)(log_weights)
+    return _build_psislw(mesh, axis, tail_len, cutoffmin,
+                         log_weights.ndim)(log_weights)
+
+
+@lru_cache(maxsize=64)
+def _build_colsumlogs(mesh, axis):
+    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P())
+    def colsumlogs(lw_local):
+        m = jax.lax.pmax(jnp.max(lw_local, axis=0), axis)
+        z = jax.lax.psum(jnp.sum(jnp.exp(lw_local - m), axis=0), axis)
+        return jnp.log(z) + m
+
+    return colsumlogs
+
+
+def psisloo_sharded(log_lik, mesh, axis='sample', **kwargs):
+    """PSIS leave-one-out log predictive densities over a mesh-sharded
+    ``(n_draws, n_points)`` log-likelihood matrix.
+
+    Distributed version of `viabel_tpu.psis.psisloo` (reference:
+    notebooks/psis.py:68-109): draws stay sharded over the mesh; each
+    point's importance-weight tail is gathered via the top-k path of
+    `psislw_sharded`.  Returns ``(loo, loos, ks)`` with `loos`/`ks`
+    replicated ``(n_points,)`` arrays.
+    """
+    log_lik = jnp.asarray(log_lik)
+    lw, ks = psislw_sharded(-log_lik, mesh, axis=axis, **kwargs)
+    loos = _build_colsumlogs(mesh, axis)(lw + log_lik)
+    return float(jnp.sum(loos)), loos, ks
 
 
 @lru_cache(maxsize=64)
