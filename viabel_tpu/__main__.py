@@ -163,21 +163,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog='python -m viabel_tpu')
     sub = p.add_subparsers(dest='cmd', required=True)
 
+    # choices come from the config registries so the CLI cannot drift
+    from .config import FAMILIES, MODELS, OBJECTIVES, OPTIMIZERS
+
     pr = sub.add_parser('run', help='run a VI experiment')
     pr.add_argument('--config', help='JSON config file')
-    pr.add_argument('--model', choices=('funnel', 'normal_mixture',
-                                        'robust_regression',
-                                        'eight_schools_cp',
-                                        'eight_schools_ncp',
-                                        'linear_regression'))
-    pr.add_argument('--family', choices=('mean_field_gaussian',
-                                         'mean_field_t',
-                                         'full_rank_gaussian',
-                                         'full_rank_t'))
-    pr.add_argument('--objective', choices=('klvi', 'klvi_pd', 'klvi_pd2',
-                                            'chivi', 'chivi_neff'))
-    pr.add_argument('--optimizer', choices=('adagrad', 'rmsprop_ia',
-                                            'adam_ia'))
+    pr.add_argument('--model', choices=MODELS)
+    pr.add_argument('--family', choices=FAMILIES)
+    pr.add_argument('--objective', choices=OBJECTIVES)
+    pr.add_argument('--optimizer', choices=OPTIMIZERS)
     pr.add_argument('--df', type=float)
     pr.add_argument('--alpha', type=float)
     pr.add_argument('--n-mc', dest='n_mc', type=int)
@@ -188,6 +182,12 @@ def main(argv=None):
                     type=float)
     pr.add_argument('--seed', type=int)
     pr.add_argument('--bound-samples', dest='bound_samples', type=int)
+    pr.add_argument('--no-presampled', dest='presampled',
+                    action='store_const', const=False,
+                    help='sample inside the optimizer scan instead of '
+                         'batching all draws up front (saves the '
+                         '(n_iters, n_mc, dim) draw array on very long '
+                         'runs, at lower it/s)')
     pr.add_argument('--checkpoint-path', dest='checkpoint_path')
     pr.add_argument('--quiet', action='store_true')
     pr.add_argument('--fused', action='store_true',

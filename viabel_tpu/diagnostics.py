@@ -122,8 +122,9 @@ def compute_posterior_moments(prior_mean, prior_covariance, noise_variance,
     """Exact conjugate Bayesian linear-regression posterior (mean, cov).
 
     Ground-truth oracle for diagnostics experiments
-    (reference: viabel/functions.py:139-150), computed with Cholesky solves
-    instead of explicit inverses.
+    (reference: viabel/functions.py:139-150), computed via inverses of the
+    Cholesky factors (triangular, well-conditioned) rather than direct
+    inversion of the covariance/precision matrices.
     """
     prior_mean = np.asarray(prior_mean)
     prior_covariance = np.asarray(prior_covariance)
