@@ -62,6 +62,17 @@ def test_cli_run_smoke(capsys):
     out = capsys.readouterr().out
     assert 'posterior mean estimate' in out
     assert 'khat' in out
+    assert '"presampled": true' in out
+
+
+def test_cli_run_no_presampled(capsys):
+    """--no-presampled routes the key-threaded (in-scan sampling) path."""
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '200', '--n-mc', '10',
+          '--bound-samples', '5000', '--quiet', '--no-presampled'])
+    out = capsys.readouterr().out
+    assert '"presampled": false' in out
+    assert 'khat' in out
 
 
 def test_cli_run_fused(capsys):
