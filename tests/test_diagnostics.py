@@ -76,6 +76,36 @@ def test_stochastic_iterate_averaging():
         stochastic_iterate_averaging(x, start=25)
 
 
+def test_effective_sample_size_iid_and_ar1():
+    """iid chains give ESS ~ N; AR(1) chains give ESS/N ~ (1-phi)/(1+phi)
+    (the theoretical relative efficiency), and the (K,) form vectorizes."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.signal import lfilter
+    from viabel_tpu.diagnostics import effective_sample_size
+
+    n_chains, n = 4, 20000
+    noise = np.asarray(jax.random.normal(jax.random.PRNGKey(0),
+                                         (n_chains, n), dtype=jnp.float64))
+    ess_iid = effective_sample_size(noise)
+    N = n_chains * n
+    assert 0.9 * N < ess_iid < 1.1 * N
+
+    phi = 0.7
+    ar1 = lfilter([1.0], [1.0, -phi], noise, axis=1)
+    ess_ar1 = effective_sample_size(ar1)
+    expected = N * (1 - phi) / (1 + phi)
+    assert 0.8 * expected < ess_ar1 < 1.2 * expected
+
+    stacked = np.stack([noise, ar1], axis=-1)     # (chains, n, 2)
+    ess_k = effective_sample_size(stacked)
+    assert ess_k.shape == (2,)
+    np.testing.assert_allclose(ess_k, [ess_iid, ess_ar1], rtol=1e-12)
+
+    # Reff for psisloo: iid draws ~ 1, AR(1) well below
+    assert ess_ar1 / N < 0.3 < 0.9 < ess_iid / N
+
+
 def test_compute_posterior_moments_vs_direct():
     rng = np.random.RandomState(4)
     N, D = 40, 3

@@ -32,6 +32,7 @@ from .optimizers import (adagrad_optimize, adam_IA_optimize,
                          rmsprop_IA_optimize, rmsprop_IA_optimize_with_rhat)
 from .diagnostics import (compute_posterior_moments, compute_R_hat,
                           compute_R_hat_adaptive, compute_R_hat_halfway,
+                          effective_sample_size,
                           stochastic_iterate_averaging)
 from .mcmc import hmc_ground_truth, hmc_sample
 from .pipeline import (validated_vi, validated_vi_multistart,
@@ -62,6 +63,7 @@ __all__ = [
     'rmsprop_IA_optimize', 'adam_IA_optimize',
     # diagnostics (viabel/functions.py)
     'compute_R_hat', 'compute_R_hat_adaptive', 'compute_R_hat_halfway',
+    'effective_sample_size',
     'stochastic_iterate_averaging', 'compute_posterior_moments',
     # distributions (viabel/_distributions.py)
     'multivariate_t_logpdf',

@@ -15,6 +15,7 @@ __all__ = [
     'compute_R_hat_adaptive',
     'compute_R_hat_adaptive_numpy',
     'compute_R_hat_halfway',
+    'effective_sample_size',
     'stochastic_iterate_averaging',
     'compute_posterior_moments',
 ]
@@ -96,6 +97,73 @@ def compute_R_hat_halfway(chains, interval=100, start=1000):
         _, r = compute_R_hat(sub, warmup=sub.shape[1] // 2)
         r_hats.append(r)
     return np.asarray(r_hats)
+
+
+def _autocovariance_fft(x):
+    """Per-chain autocovariance function via FFT, biased (1/n) normalization.
+
+    `x` is (n_chains, n_iters); returns (n_chains, n_iters) with lag along
+    the last axis.
+    """
+    n = x.shape[-1]
+    xc = x - x.mean(axis=-1, keepdims=True)
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, nfft, axis=-1)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=-1)[..., :n].real
+    return acov / n
+
+
+def effective_sample_size(chains):
+    """Effective sample size per parameter (Geyer initial monotone sequence).
+
+    `chains` is ``(n_chains, n_iters)`` or ``(n_chains, n_iters, K)``.
+    Returns a scalar (or ``(K,)`` array): the ESS of the pooled draws,
+    computed with the multi-chain combined autocorrelation
+    ``rho_t = 1 - (W - mean_chain_acov_t) / var_plus`` summed over Geyer
+    pairs until the first negative pair, then enforced monotone
+    (Vehtari, Gelman, Simpson, Carpenter & Burkner 2021, the Stan/arviz
+    estimator).
+
+    The reference has no ESS utility, but its PSIS consumes one:
+    ``psislw(lw, Reff)`` takes the relative efficiency ``N_eff / N`` of the
+    draws (reference: notebooks/psis.py:112-155, via `psisloo`'s MCMC
+    use case).  ``Reff = effective_sample_size(chains) / (n_chains *
+    n_iters)`` closes that loop in-repo.
+    """
+    chains = np.asarray(chains, dtype=float)
+    if chains.ndim == 2:
+        return _ess_1d(chains)
+    return np.array([_ess_1d(chains[:, :, k])
+                     for k in range(chains.shape[-1])])
+
+
+def _ess_1d(chains):
+    n_chains, n = chains.shape
+    if n < 4:
+        raise ValueError('need at least 4 iterations per chain')
+    acov = _autocovariance_fft(chains)               # (n_chains, n)
+    chain_means = chains.mean(axis=1)
+    # within-chain variance (unbiased) and the pooled posterior-variance
+    # estimate var_plus = W * (n-1)/n + B/n
+    W = np.mean(acov[:, 0]) * n / (n - 1)
+    var_plus = np.mean(acov[:, 0]) + (np.var(chain_means, ddof=1)
+                                      if n_chains > 1 else 0.0)
+    if var_plus <= 0:
+        return float(n_chains * n)  # constant chains: no autocorrelation
+    # combined autocorrelation: biased per-chain acov means at each lag,
+    # with only the lag-0 within-chain variance W unbiased (the standard
+    # Stan/arviz formulation)
+    rho = 1.0 - (W - acov.mean(axis=0)) / var_plus
+    # Geyer pairs P_k = rho_{2k} + rho_{2k+1}: keep the initial positive
+    # sequence (truncate at the first non-positive pair), force it monotone
+    # non-increasing, then tau = -1 + 2 * sum_k P_k
+    n_pairs = n // 2
+    pairs = rho[0:2 * n_pairs:2] + rho[1:2 * n_pairs:2]
+    pos = pairs > 0
+    k = int(np.argmin(pos)) if not pos.all() else len(pairs)
+    pairs = np.minimum.accumulate(pairs[:k])
+    tau = max(-1.0 + 2.0 * float(np.sum(pairs)), 1.0 / np.log10(n + 1))
+    return float(n_chains * n / tau)
 
 
 def stochastic_iterate_averaging(estimate, start):
