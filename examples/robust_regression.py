@@ -34,7 +34,10 @@ def bounds_and_khat(model, fam, opt_param, n_samples, key, elbo=None):
                      moment_bound_fn=family_moment_bounds(fam, opt_param),
                      log_norm_bound=elbo)
     _, khat = psislw(lw)
-    return res, float(khat), float(jnp.mean(lw))
+    # khat and the ELBO estimate cross to the host in ONE stacked fetch
+    # (each device->host scalar pays the ~25-35 ms dispatch floor; CLAUDE.md)
+    khat, mean_lw = np.asarray(jnp.stack([khat, jnp.mean(lw)]))
+    return res, float(khat), float(mean_lw)
 
 
 def timed_optimize(n_iters, obj, init, key, **kw):

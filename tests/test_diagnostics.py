@@ -106,6 +106,30 @@ def test_effective_sample_size_iid_and_ar1():
     assert ess_ar1 / N < 0.3 < 0.9 < ess_iid / N
 
 
+def test_effective_sample_size_edge_cases():
+    """A constant column inside a batch takes the no-autocorrelation
+    branch (ESS = N) without contaminating its neighbors, and the
+    single-chain path (no between-chain variance term) works."""
+    import jax
+    import jax.numpy as jnp
+    from viabel_tpu.diagnostics import effective_sample_size
+
+    n_chains, n = 4, 5000
+    noise = np.asarray(jax.random.normal(jax.random.PRNGKey(3),
+                                         (n_chains, n), dtype=jnp.float64))
+    stacked = np.stack([noise, np.full((n_chains, n), 2.5)], axis=-1)
+    ess = effective_sample_size(stacked)
+    assert ess[1] == n_chains * n                     # constant column
+    np.testing.assert_allclose(ess[0], effective_sample_size(noise),
+                               rtol=1e-12)            # neighbor untouched
+
+    ess_single = effective_sample_size(noise[:1])     # n_chains == 1
+    assert 0.8 * n < ess_single < 1.2 * n
+
+    with pytest.raises(ValueError):
+        effective_sample_size(noise[:, :3])           # < 4 iterations
+
+
 def test_compute_posterior_moments_vs_direct():
     rng = np.random.RandomState(4)
     N, D = 40, 3

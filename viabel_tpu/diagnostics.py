@@ -132,38 +132,45 @@ def effective_sample_size(chains):
     """
     chains = np.asarray(chains, dtype=float)
     if chains.ndim == 2:
-        return _ess_1d(chains)
-    return np.array([_ess_1d(chains[:, :, k])
-                     for k in range(chains.shape[-1])])
+        return float(_ess_batched(chains[None, :, :])[0])
+    # one batched FFT pass over all K columns: (n_chains, n, K) -> (K, c, n)
+    return _ess_batched(np.moveaxis(chains, -1, 0))
 
 
-def _ess_1d(chains):
-    n_chains, n = chains.shape
+def _ess_batched(chains):
+    """ESS over a (K, n_chains, n_iters) batch; returns (K,)."""
+    K, n_chains, n = chains.shape
     if n < 4:
         raise ValueError('need at least 4 iterations per chain')
-    acov = _autocovariance_fft(chains)               # (n_chains, n)
-    chain_means = chains.mean(axis=1)
+    acov = _autocovariance_fft(chains)               # (K, n_chains, n)
+    chain_means = chains.mean(axis=-1)               # (K, n_chains)
+    acov0 = acov[..., 0].mean(axis=-1)               # (K,)
     # within-chain variance (unbiased) and the pooled posterior-variance
     # estimate var_plus = W * (n-1)/n + B/n
-    W = np.mean(acov[:, 0]) * n / (n - 1)
-    var_plus = np.mean(acov[:, 0]) + (np.var(chain_means, ddof=1)
-                                      if n_chains > 1 else 0.0)
-    if var_plus <= 0:
-        return float(n_chains * n)  # constant chains: no autocorrelation
+    W = acov0 * n / (n - 1)
+    B = (np.var(chain_means, axis=-1, ddof=1) if n_chains > 1
+         else np.zeros(K))
+    var_plus = acov0 + B
+    ok = var_plus > 0                # constant chains: no autocorrelation
+    safe_var_plus = np.where(ok, var_plus, 1.0)
     # combined autocorrelation: biased per-chain acov means at each lag,
     # with only the lag-0 within-chain variance W unbiased (the standard
     # Stan/arviz formulation)
-    rho = 1.0 - (W - acov.mean(axis=0)) / var_plus
+    rho = 1.0 - (W[:, None] - acov.mean(axis=1)) / safe_var_plus[:, None]
     # Geyer pairs P_k = rho_{2k} + rho_{2k+1}: keep the initial positive
     # sequence (truncate at the first non-positive pair), force it monotone
     # non-increasing, then tau = -1 + 2 * sum_k P_k
     n_pairs = n // 2
-    pairs = rho[0:2 * n_pairs:2] + rho[1:2 * n_pairs:2]
-    pos = pairs > 0
-    k = int(np.argmin(pos)) if not pos.all() else len(pairs)
-    pairs = np.minimum.accumulate(pairs[:k])
-    tau = max(-1.0 + 2.0 * float(np.sum(pairs)), 1.0 / np.log10(n + 1))
-    return float(n_chains * n / tau)
+    pairs = rho[:, 0:2 * n_pairs:2] + rho[:, 1:2 * n_pairs:2]  # (K, n_pairs)
+    nonpos = pairs <= 0
+    trunc = np.where(nonpos.any(axis=1), np.argmax(nonpos, axis=1), n_pairs)
+    keep = np.arange(n_pairs)[None, :] < trunc[:, None]
+    # +inf outside the kept prefix leaves the running minimum untouched;
+    # those lags are then zeroed out of the sum
+    mono = np.minimum.accumulate(np.where(keep, pairs, np.inf), axis=1)
+    tau = np.maximum(-1.0 + 2.0 * np.where(keep, mono, 0.0).sum(axis=1),
+                     1.0 / np.log10(n + 1))
+    return np.where(ok, n_chains * n / tau, float(n_chains * n))
 
 
 def stochastic_iterate_averaging(estimate, start):
