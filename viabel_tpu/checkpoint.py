@@ -89,6 +89,41 @@ def load_checkpoint_entry(path, name):
         return data[matches[0]]
 
 
+def _validate_resume(state, template, path, key_entry, key_value):
+    """Fail loudly when a checkpoint does not match the resuming run.
+
+    Two silent-corruption modes are rejected: a changed run configuration
+    (different ``n_iters``/``window``/parameter sizes leave stale history
+    shapes that either crash mid-run or average the wrong tail) and a
+    changed PRNG key (the per-iteration draws come from
+    ``fold_in(key, i)``, so resuming under a new key would switch the RNG
+    stream mid-trajectory with no error)."""
+    for name, ref in template.items():
+        if np.shape(state[name]) != np.shape(ref):
+            raise ValueError(
+                'cannot resume from {!r}: entry {!r} has shape {}, but this '
+                'run expects {} — n_iters, window, and parameter sizes must '
+                'match the run that wrote the checkpoint'.format(
+                    path, name, np.shape(state[name]), np.shape(ref)))
+    if not np.array_equal(np.asarray(state[key_entry]),
+                          np.asarray(key_value)):
+        raise ValueError(
+            'cannot resume from {!r}: it was written under a different PRNG '
+            'key; resuming would silently switch the RNG stream mid-run — '
+            'pass the key of the original run'.format(path))
+
+
+def _load_resume_state(checkpoint_path, template):
+    """`load_checkpoint(like=template)` with a resume-specific error for a
+    structurally incompatible (e.g. older-format) checkpoint."""
+    try:
+        return load_checkpoint(checkpoint_path, like=template)
+    except ValueError as e:
+        raise ValueError(
+            'cannot resume from {!r}: checkpoint structure does not match '
+            'this run ({})'.format(checkpoint_path, e))
+
+
 def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
                                checkpoint_path, key=None, save_every=1000,
                                has_log_norm=None, window=10,
@@ -100,7 +135,10 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
     Runs in `save_every`-iteration segments, each a compiled scan; after
     each segment the full optimizer state (parameters, gradient window,
     histories, iteration counter) is checkpointed.  If `checkpoint_path`
-    exists, optimization resumes from it.  Same return contract as
+    exists, optimization resumes from it — after validating that it matches
+    this run's configuration (shapes) and PRNG `key`, either of which would
+    otherwise corrupt the resumed trajectory silently.  Same return
+    contract as
     `adagrad_optimize`; for exact trajectory correspondence with the
     whole-run driver pass ``unroll=1`` to `adagrad_optimize` (its default
     unroll=4 can differ from this plain scan in the low bits).
@@ -113,6 +151,7 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
 
     template = dict(
         i=np.zeros((), np.int64),
+        key=np.asarray(key),
         param=np.zeros(P, np.asarray(init_param).dtype),
         grads=np.zeros((window, P), np.asarray(init_param).dtype),
         log_norms=np.zeros(window, np.asarray(init_param).dtype),
@@ -121,7 +160,8 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
         params=np.zeros((n_iters, P), np.asarray(init_param).dtype),
     )
     if os.path.exists(checkpoint_path):
-        state = load_checkpoint(checkpoint_path, like=template)
+        state = _load_resume_state(checkpoint_path, template)
+        _validate_resume(state, template, checkpoint_path, 'key', key)
         start = int(state['i'])
     else:
         state = template

@@ -494,6 +494,7 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
 
     template = dict(
         i=np.zeros((), np.int64),
+        keys=np.asarray(keys),
         params=np.zeros((n_chains, P), np_dtype),
         v=np.zeros((n_chains, P), np_dtype),
         m=np.zeros((n_chains, P), np_dtype),
@@ -503,8 +504,11 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
         hist=np.zeros((n_chains, cap, P), np_dtype),
     )
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        from .checkpoint import load_checkpoint
-        state = load_checkpoint(checkpoint_path, like=template)
+        from .checkpoint import _load_resume_state, _validate_resume
+        state = _load_resume_state(checkpoint_path, template)
+        # reject a changed configuration or PRNG key stream — either would
+        # silently corrupt the resumed trajectory (see checkpoint.py)
+        _validate_resume(state, template, checkpoint_path, 'keys', keys)
         start = int(state['i'])
     else:
         state = template

@@ -158,6 +158,15 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
     Returns the `all_bounds` results dict; with `return_log_weights=True`
     also returns the still-sharded log-weights (for `psislw_sharded`).
     """
+    if alpha != 2:
+        # same guard as the unsharded `all_bounds` (bounds.py): the
+        # Wasserstein / moment-error formulas are 2-divergence bounds only;
+        # use sharded_log_weight_stats + divergence_bound for other orders
+        raise ValueError('sharded_all_bounds requires alpha == 2 (the '
+                         'Wasserstein and moment-error bounds are only '
+                         'valid for the 2-divergence); use '
+                         'sharded_log_weight_stats with divergence_bound '
+                         'for other alpha values')
     n_dev = mesh.shape[axis]
     if n_samples % n_dev:
         raise ValueError('the mesh axis size ({}) must divide n_samples '

@@ -77,11 +77,13 @@ def _build_psislw(mesh, axis, tail_len, cutoffmin, ndim=1):
         qq = jnp.log(gpinv(sti, k, sigma) + expxcutoff)     # ascending
 
         # (4): rank of each local above-cutoff weight among the ascending
-        # valid tail = (tail_len - n2) + #{valid tail values < v}
+        # valid tail = (tail_len - n2) + #{valid tail values < v}.  For
+        # v > xcutoff every invalid (<= cutoff) tail entry is strictly
+        # below v, so that sum is exactly #{tail values < v} — a
+        # searchsorted on the sorted tail, O(n_local log tail_len) instead
+        # of the O(n_local * tail_len) mask-and-count
         in_tail = x > xcutoff
-        less_count = jnp.sum(
-            (tail_asc[None, :] < x[:, None]) & mask[None, :], axis=1)
-        rank = jnp.clip(tail_len - n2 + less_count, 0, tail_len - 1)
+        rank = jnp.clip(jnp.searchsorted(tail_asc, x), 0, tail_len - 1)
         smoothed_vals = qq[rank]
         x_new = jnp.where(in_tail & do_smooth, smoothed_vals, x)
         x_new = jnp.where(do_smooth, jnp.minimum(x_new, 0.0), x_new)
@@ -115,7 +117,14 @@ def psislw_sharded(log_weights, mesh, Reff=1.0, axis='sample'):
     layout, matching `viabel_tpu.psis.psislw`'s 2-D semantics.  Smoothed
     weights keep the input's sharding; khat is replicated.
     """
+    # same input contract as the unsharded `psislw` (psis.py) — without
+    # these guards bad input dies deep inside top_k / shard_map instead
+    log_weights = jnp.asarray(log_weights)  # no-op on sharded device arrays
+    if log_weights.ndim not in (1, 2):
+        raise ValueError('Argument `lw` must be 1 or 2 dimensional.')
     n = log_weights.shape[0]
+    if n <= 1:
+        raise ValueError('More than one log-weight needed.')
     tail_len = _tail_len(n, Reff)
     cutoffmin = float(np.log(np.finfo(np.dtype(log_weights.dtype)).tiny))
     return _build_psislw(mesh, axis, tail_len, cutoffmin,

@@ -34,8 +34,9 @@ __all__ = ['PosteriorService', 'serve']
 class PosteriorService:
     """Compiled query layer over (model, family, var_param).
 
-    Sizes that become static jit arguments are bounded: `/sample` and
-    `/bounds` round the requested count up to the next power of two before
+    Sizes that become static jit arguments are bounded: `/sample`,
+    `/bounds`, and `/log_prob` round the requested count (or point batch)
+    up to the next power of two before
     compiling (so at most ~log2(max) programs ever compile per endpoint),
     and `/fit` admits at most `max_distinct_fit_configs` distinct
     (n_iters, n_mc, n_bound, lr, lr_end) tuples — each distinct tuple
@@ -108,8 +109,18 @@ class PosteriorService:
     def log_prob(self, x):
         import jax.numpy as jnp
         var_param, _, _ = self._snapshot()
-        return np.asarray(self._log_prob(var_param, jnp.asarray(
-            np.atleast_2d(np.asarray(x, dtype=np.float32)))))
+        x = np.atleast_2d(np.asarray(x, dtype=np.float32))
+        n = x.shape[0]
+        if n > self.max_bound_samples:
+            raise ValueError('batch of {} points exceeds the service limit '
+                             '{}'.format(n, self.max_bound_samples))
+        # pad the batch to a power-of-two bucket: every distinct shape
+        # traces and permanently caches a new executable, so an unbucketed
+        # batch axis would grow server memory without bound (the same
+        # resource rule /sample and /bounds follow — class docstring)
+        padded = np.zeros((self._bucket(n), x.shape[1]), dtype=x.dtype)
+        padded[:n] = x
+        return np.asarray(self._log_prob(var_param, jnp.asarray(padded))[:n])
 
     def bounds(self, n):
         from .bounds import all_bounds, family_moment_bounds
@@ -317,10 +328,22 @@ def main(argv=None):
     if args.param:
         from .checkpoint import load_checkpoint_entry
         try:
-            var_param = load_checkpoint_entry(args.param, 'param')
+            # an optimizer checkpoint stores the raw iterates; serve the
+            # tail-quarter-averaged parameter — the fit every other code
+            # path (adagrad_optimize*, the CLI's printed results) reports —
+            # not the noisier final SGD iterate
+            params = load_checkpoint_entry(args.param, 'params')
+            i_done = int(load_checkpoint_entry(args.param, 'i'))
+            if i_done > 0:
+                var_param = params[3 * i_done // 4:i_done].mean(axis=0)
+            else:
+                var_param = load_checkpoint_entry(args.param, 'param')
         except KeyError:
-            with np.load(args.param) as d:
-                var_param = d[d.files[0]]
+            try:
+                var_param = load_checkpoint_entry(args.param, 'param')
+            except KeyError:
+                with np.load(args.param) as d:
+                    var_param = d[d.files[0]]
     else:
         print('no --param given; fitting {} iters...'.format(cfg.n_iters))
         var_param, _, _, _ = adagrad_optimize(
