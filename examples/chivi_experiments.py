@@ -98,9 +98,24 @@ def run_protocol(label, N, k, rho, chivi_cfgs, n_iters_klvi, mc_samples,
         obj = factory(2, fam_c, model.log_prob, 500)
         warm = np.asarray(klvi_opt).copy()
         warm[k:] += offset
-        _, results[name] = _fit_and_report(
+        stage_opt, results[name] = _fit_and_report(
             name, obj, warm, n_it, lr, lr_end, fam_c, model, truth,
             mc_samples, jax.random.fold_in(seed_key, 10 + i))
+        if use_neff:
+            # The ESS damping scales the CHIVI gradient by neff/n; with a
+            # heavy right weight tail (khat >> 0.7 at the warm start)
+            # neff/n ~ 0, so the stage can finish having barely moved.  Say
+            # so explicitly — otherwise a small mean_err here reads as a
+            # CHIVI result when it is really the inherited KLVI warm start
+            # (see benchmarks/CHIVI_PROTOCOLS.md).
+            move = float(np.linalg.norm(np.asarray(stage_opt) - warm))
+            rel = move / max(float(np.linalg.norm(warm)), 1e-12)
+            results[name]['param_move_rel'] = rel
+            if rel < 0.01:
+                print('  {:>22}  NOTE: stage effectively frozen by ESS '
+                      'damping (parameters moved {:.2g} rel.; neff/n ~ 0 '
+                      'at this khat) — mean_err above reflects the KLVI '
+                      'warm start, not CHIVI'.format('', rel), flush=True)
     return results
 
 

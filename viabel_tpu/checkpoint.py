@@ -121,7 +121,10 @@ def _load_resume_state(checkpoint_path, template):
     except ValueError as e:
         raise ValueError(
             'cannot resume from {!r}: checkpoint structure does not match '
-            'this run ({})'.format(checkpoint_path, e))
+            'this run ({}). Note: checkpoints written before the PRNG-key '
+            'entry was added to the format (pre-round-2) lack the '
+            "'key'/'keys' entry and cannot be resumed — delete the "
+            'checkpoint or restart the run'.format(checkpoint_path, e))
 
 
 def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,

@@ -51,20 +51,19 @@ def learning_rate_schedule(i, n_iters, learning_rate, learning_rate_end=None):
     eager validation below then falls to the caller (the sweep validates
     on the host before tracing).
     """
-    try:
+    traced = (isinstance(learning_rate, jax.core.Tracer)
+              or isinstance(learning_rate_end, jax.core.Tracer))
+    if not traced:
         if learning_rate <= 0:
             raise ValueError('learning rate must be positive')
         # learning_rate_end <= 0 would freeze the final quarter (lr = 0)
         # or put the harmonic pole b inside the decay phase (negative and
         # sign-flipping rates) — reject it, don't let the run silently
         # stall or diverge
-        bad_end = (learning_rate_end is not None
-                   and not (0 < learning_rate_end < learning_rate))
-    except jax.errors.TracerBoolConversionError:
-        bad_end = False  # traced rates: validated by the caller
-    if bad_end:
-        raise ValueError('final learning rate must satisfy '
-                         '0 < learning_rate_end < learning_rate')
+        if (learning_rate_end is not None
+                and not (0 < learning_rate_end < learning_rate)):
+            raise ValueError('final learning rate must satisfy '
+                             '0 < learning_rate_end < learning_rate')
     if learning_rate_end is None:
         return jnp.asarray(learning_rate)
     b = n_iters * learning_rate_end / (2 * (learning_rate - learning_rate_end))
