@@ -155,3 +155,87 @@ def test_psisloo_matches_reference():
         np.asarray(ks),
         [0.77351414, 0.82808595, 0.98846316, 0.65742325, 0.69506118],
         atol=1e-7)
+
+
+def _tied_f32_log_weights(n=4096, n_cut_ties=3, n_tail_ties=4, seed=7):
+    """Heavy-tailed f32 log-weights with exact ties at and above the PSIS
+    tail cutoff (pins the documented f32 tie semantics; psis.py:146-148)."""
+    from viabel_tpu.psis import _tail_len
+    rs = np.random.RandomState(seed)
+    # Pareto(1.5) weights -> khat ~ 2/3: the smoothing branch is taken
+    lw = np.log(rs.pareto(1.5, size=n) + 1.0).astype(np.float32)
+    tail_len = _tail_len(n, 1.0)
+    order = np.argsort(lw)
+    cut_val = lw[order[n - tail_len - 1]]  # the cutoff element
+    # exact f32 ties AT the cutoff (straddling the boundary) ...
+    lw[order[n - tail_len - 1 - n_cut_ties // 2:
+             n - tail_len - 1 + (n_cut_ties + 1) // 2]] = cut_val
+    # ... and a tied group strictly INSIDE the tail
+    mid = order[n - tail_len // 2]
+    lw[order[n - tail_len // 2: n - tail_len // 2 + n_tail_ties]] = lw[mid]
+    return jnp.asarray(lw), tail_len
+
+
+def test_psislw_f32_ties_invariants():
+    """f32 ties at the tail boundary keep every PSIS invariant: exact
+    normalization, a finite khat, and smoothed values monotone in the raw
+    weight (tied raw values may receive different but adjacent quantiles —
+    the documented 'equally valid tie order'; psis.py:146-148)."""
+    from viabel_tpu.psis import _psislw_1d, psislw
+    lw, tail_len = _tied_f32_log_weights()
+    out, khat = psislw(lw)
+    out = np.asarray(out)
+    assert out.dtype == np.float32
+    assert np.isfinite(float(khat)) and float(khat) > 1 / 3
+    # self-normalized
+    from scipy.special import logsumexp
+    assert abs(logsumexp(out.astype(np.float64))) < 1e-5
+    # monotone: sorting by raw weight sorts the smoothed weights too
+    # (within a tie group the assignment order is arbitrary, but values of
+    # equal raw weight get adjacent quantiles, so sorting by (raw, out)
+    # must leave out non-decreasing)
+    order = np.lexsort((out, np.asarray(lw)))
+    assert np.all(np.diff(out[order]) >= -1e-7)
+    # truncation at the max raw weight (0 after max-rescaling), i.e. no
+    # smoothed weight exceeds the largest raw weight
+    assert np.all(out <= 1e-6)
+
+
+@pytest.mark.slow
+def test_psislw_sharded_f32_ties_match_unsharded():
+    """Sharded PSIS on tied f32 input: khat identical to unsharded (the
+    tail multiset is the same), normalization exact, tied raw values get
+    the SAME smoothed quantile (sharded_psis.py:18-21's documented
+    semantics), and untied positions match the unsharded output."""
+    from viabel_tpu.parallel import make_mesh, psislw_sharded
+    from viabel_tpu.psis import psislw
+    from scipy.special import logsumexp
+
+    lw, tail_len = _tied_f32_log_weights()
+    mesh = make_mesh(axis_names=('sample',), shape=(8,))
+    out_s, khat_s = psislw_sharded(lw, mesh)
+    out_u, khat_u = psislw(lw)
+    out_s, out_u = np.asarray(out_s), np.asarray(out_u)
+    lw_np = np.asarray(lw)
+
+    # identical tail multiset -> identical GPD fit -> identical khat
+    np.testing.assert_allclose(float(khat_s), float(khat_u), rtol=1e-6)
+    assert abs(logsumexp(out_s.astype(np.float64))) < 1e-5
+
+    # tied raw values receive one shared smoothed value in the sharded path
+    vals, counts = np.unique(lw_np, return_counts=True)
+    for v in vals[counts > 1]:
+        tied_out = out_s[lw_np == v]
+        assert np.all(tied_out == tied_out[0]), \
+            'tied raw weights must share a smoothed quantile'
+
+    # away from tie groups the two implementations agree exactly up to a
+    # constant shift: the in-tail tie group's quantile assignment (shared
+    # lowest vs distinct adjacent) perturbs only the normalization constant,
+    # which moves every entry by the same amount
+    untied = np.isin(lw_np, vals[counts == 1])
+    ds = out_s[untied].astype(np.float64)
+    du = out_u[untied].astype(np.float64)
+    shift = np.median(ds - du)
+    assert abs(shift) < 1e-3  # the normalizer perturbation itself is tiny
+    np.testing.assert_allclose(ds - shift, du, atol=1e-5)
