@@ -26,6 +26,7 @@ def _free_port():
         return str(s.getsockname()[1])
 
 
+@pytest.mark.slow
 def test_two_process_sharded_bounds_match_single_process():
     worker = os.path.join(os.path.dirname(__file__),
                           'distributed_worker.py')

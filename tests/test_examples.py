@@ -5,6 +5,9 @@ import sys
 import numpy as np
 import pytest
 
+# full example protocols: the heavy integration tier (75 s worst case)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _repo_on_path(monkeypatch):

@@ -154,6 +154,7 @@ def test_native_backend_matches_jax_model():
                                rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_native_backend_in_full_vi_loop():
     """The native C++ density drives a complete KLVI optimization — the
     reference's Stan-bridge workflow (reference: viabel/vb.py:314-321 +

@@ -190,6 +190,7 @@ def test_full_rank_t():
         * (2 * (lam ** 2).sum() + lam.sum() ** 2), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_full_rank_t_fourth_moment_matches_sampling():
     """MC check that pth_moment(4) is the true E||x-mu||^4 for the shared
     chi-square mixture.  The formula error in the reference

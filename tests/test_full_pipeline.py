@@ -17,6 +17,7 @@ from viabel_tpu.experiments import (get_samples_and_log_weights,
 from viabel_tpu.models import linear_regression_model
 from viabel_tpu.parallel import make_mesh
 from viabel_tpu.psis import psislw
+import pytest
 
 
 def _problem(seed=0, D=3):
@@ -75,6 +76,7 @@ def test_full_rank_vi_recovers_exact_posterior():
     assert float(khat) < 1 / 3  # essentially exact importance distribution
 
 
+@pytest.mark.slow
 def test_sharded_psis_correction_matches_local():
     model = _problem()
     fam = full_rank_gaussian_variational_family(model.dim)

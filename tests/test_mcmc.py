@@ -5,6 +5,7 @@ reference: notebooks/eight-schools.ipynb cells 10-16,
 robust-regression.ipynb cell 9)."""
 import jax
 import numpy as np
+import pytest
 
 from viabel_tpu.mcmc import hmc_ground_truth, hmc_sample
 from viabel_tpu.models import (eight_schools_cp_model,
@@ -21,6 +22,7 @@ def _conjugate_model(seed=0):
     return linear_regression_model(x, y)
 
 
+@pytest.mark.slow
 def test_hmc_matches_conjugate_posterior():
     model = _conjugate_model()
     gt = hmc_ground_truth(model, key=jax.random.PRNGKey(0), n_samples=4000,
@@ -33,6 +35,7 @@ def test_hmc_matches_conjugate_posterior():
     assert diag['r_hat'].max() < 1.01
 
 
+@pytest.mark.slow
 def test_hmc_confirms_robust_regression_notebook_truth():
     """The stored notebook-NUTS moments (models/regression.py) are
     reproduced by the in-repo sampler within MC error."""
@@ -43,6 +46,7 @@ def test_hmc_confirms_robust_regression_notebook_truth():
     np.testing.assert_allclose(gt['cov'], model.true_cov, atol=0.03)
 
 
+@pytest.mark.slow
 def test_hmc_confirms_eight_schools_stored_truth():
     """The shipped _ground_truth.npz constants are reproduced by a fresh
     (smaller) HMC run with a different seed."""
@@ -60,6 +64,7 @@ def test_hmc_confirms_eight_schools_stored_truth():
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_hmc_unconverged_raises():
     """Chains stuck in separate modes of a far-separated mixture trip the
     R-hat gate instead of returning bad moments."""
@@ -92,6 +97,7 @@ def test_hmc_sample_output_contract():
     assert np.all(np.isfinite(out['samples']))
 
 
+@pytest.mark.slow
 def test_hmc_anisotropic_preconditioning():
     """The adapted diagonal inverse mass equals the posterior variance
     (M = Sigma^-1, the Stan euclidean metric) — a 100:1 scale ratio

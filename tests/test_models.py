@@ -4,6 +4,7 @@ computation, notebook data reproduction, and the external-callback bridge.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.stats as sps
 
 from viabel_tpu.models import (EIGHT_SCHOOLS_SIGMA, EIGHT_SCHOOLS_Y,
@@ -122,6 +123,7 @@ def test_models_are_jittable_and_differentiable():
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_callback_log_density_matches_native():
     model = robust_regression_model()
     native_grad = jax.grad(lambda z: model.log_prob(z))

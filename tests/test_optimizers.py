@@ -12,6 +12,7 @@ from viabel_tpu import (adagrad_optimize, adam_IA_optimize_with_rhat,
                         mean_field_gaussian_variational_family,
                         rmsprop_IA_optimize_with_rhat)
 from viabel_tpu.models import linear_regression_model
+import pytest
 
 
 def _reference_schedule(n_iters, learning_rate, learning_rate_end):
@@ -136,6 +137,7 @@ def test_rmsprop_ia_with_rhat_contract_and_convergence():
                                    atol=0.1)
 
 
+@pytest.mark.slow
 def test_presampled_objective_bit_identical():
     """presampled=True runs produce bit-identical trajectories to the
     key-threaded path (same fold_in keys feed one batched base_sample)."""

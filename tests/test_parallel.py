@@ -130,6 +130,7 @@ def test_sharded_psislw_matches_unsharded(mesh):
                                np.asarray(smoothed_local), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_psislw_2d_columns_matches_unsharded(mesh):
     """Column-stacked log-weights (the psisloo layout) smooth per column
     and match the unsharded 2-D path."""
@@ -144,6 +145,7 @@ def test_sharded_psislw_2d_columns_matches_unsharded(mesh):
                                rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_psisloo_matches_unsharded(mesh):
     from viabel_tpu.psis import psisloo
     from viabel_tpu.parallel import psisloo_sharded
@@ -160,6 +162,7 @@ def test_sharded_psisloo_matches_unsharded(mesh):
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_psislw_single_device_mesh():
     """A 1-device mesh must behave like the unsharded path (the gathered
     candidate pool must still contain the cutoff element)."""
@@ -174,6 +177,7 @@ def test_sharded_psislw_single_device_mesh():
                                rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_psislw_no_smoothing_branch(mesh):
     lw = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (8000,),
                                  dtype=jnp.float64)
