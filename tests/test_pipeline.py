@@ -73,6 +73,7 @@ def test_matches_composed_path_klvi():
                                rtol=1e-7, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_matches_composed_path_chivi_with_log_norm_bound():
     model = robust_regression_model()
     fam = mean_field_t_variational_family(model.dim, 40)
@@ -119,6 +120,7 @@ def test_default_objective_converges_and_caches():
         _default_objective(fam, model.log_prob, 50)
 
 
+@pytest.mark.slow
 def test_mesh_path_matches_composed_sharded_path():
     from viabel_tpu.parallel import (make_mesh, psislw_sharded,
                                      sharded_all_bounds,
@@ -193,6 +195,7 @@ def test_multistart_matches_independent_runs():
     assert out['best'] == int(np.argmin([b['d2'] for b in out['bounds']]))
 
 
+@pytest.mark.slow
 def test_multistart_mesh_sharded_matches_unsharded():
     """Sharding the start axis over a mesh is a placement decision only —
     GSPMD partitions the vmapped batch without changing any value."""
@@ -317,6 +320,7 @@ def test_pipeline_all_families(family_name):
     assert out['psis_mean'].shape == (2,)
 
 
+@pytest.mark.slow
 def test_sweep_matches_per_rate_runs():
     """The learning-rate sweep must reproduce independent validated_vi
     runs at each rate with the same key (common random numbers)."""
@@ -407,3 +411,73 @@ def test_alpha_not_2_reports_dalpha_only():
                        n_bound_samples=5000, alpha=3.0,
                        key=jax.random.PRNGKey(1))
     assert 'dalpha' in out['bounds'] and 'W2' not in out['bounds']
+
+
+def test_multistart_2d_mesh_both_axes_active():
+    """A (chain, sample) mesh runs BOTH parallelism axes in one fused
+    program: starts partition over `chain` and every start's bound/PSIS
+    stage shards over `sample` (VERDICT r2 item 3).  Optimizer trajectories
+    are identical to the unsharded multistart (same keys); the bound stage
+    uses per-device draw keys, so its statistics agree within MC noise."""
+    from viabel_tpu import validated_vi_multistart
+    from viabel_tpu.parallel import make_mesh
+    mesh = make_mesh(axis_names=('chain', 'sample'), shape=(2, 4))
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    # small perturbations: every start converges, so the bound statistics
+    # concentrate and MC-level agreement between draw schemes is checkable
+    kw = dict(n_starts=4, perturb_scale=0.05, objective_and_grad=obj,
+              n_bound_samples=80000, key=jax.random.PRNGKey(31))
+    plain = validated_vi_multistart(model.log_prob, fam, init, 300, **kw)
+    both = validated_vi_multistart(model.log_prob, fam, init, 300,
+                                   mesh=mesh, **kw)
+
+    # the global log-weight array is partitioned over BOTH mesh axes
+    spec = both['log_weights'].sharding.spec
+    assert tuple(spec) == ('chain', 'sample'), spec
+    assert len(both['log_weights'].sharding.device_set) == 8
+    assert both['log_weights'].shape == (4, 80000)
+
+    # identical optimizer keys -> identical trajectories
+    np.testing.assert_allclose(both['opt_param'], plain['opt_param'],
+                               rtol=1e-10)
+    np.testing.assert_allclose(both['value_history'],
+                               plain['value_history'], rtol=1e-10)
+    # bound stage: same distribution, different draws -> MC-level agreement
+    # on the concentrated statistics (d2/W2 are tail-dominated and can
+    # swing by factors between draws on badly-perturbed starts; only their
+    # finiteness is asserted)
+    for k in range(4):
+        assert np.isfinite(both['bounds'][k]['d2'])
+        assert both['bounds'][k]['log_norm_bound'] == pytest.approx(
+            plain['bounds'][k]['log_norm_bound'], rel=0.05, abs=0.05)
+        assert both['khat'][k] == pytest.approx(plain['khat'][k], abs=0.2)
+    # PSIS-corrected moments are high-variance at the funnel's khat ~ 0.77
+    # (heavy importance weights): assert finite + loose MC agreement
+    assert np.all(np.isfinite(np.asarray(both['psis_mean'])))
+    np.testing.assert_allclose(both['psis_mean'], plain['psis_mean'],
+                               atol=0.4)
+
+    # sample_axis=None forces the start-axis-only placement (exact match
+    # with the unsharded run, as before)
+    only_chain = validated_vi_multistart(model.log_prob, fam, init, 300,
+                                         mesh=mesh, sample_axis=None, **kw)
+    np.testing.assert_allclose(only_chain['opt_param'], plain['opt_param'],
+                               rtol=1e-12)
+    for k in range(4):
+        assert only_chain['bounds'][k]['d2'] == pytest.approx(
+            plain['bounds'][k]['d2'], rel=1e-8, abs=1e-12)
+
+
+def test_multistart_2d_mesh_validates_bound_divisibility():
+    from viabel_tpu import validated_vi_multistart
+    from viabel_tpu.parallel import make_mesh
+    mesh = make_mesh(axis_names=('chain', 'sample'), shape=(2, 4))
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    with pytest.raises(ValueError, match='divide n_bound_samples'):
+        validated_vi_multistart(model.log_prob, fam, init, 50, n_starts=2,
+                                n_bound_samples=1001, mesh=mesh)

@@ -32,6 +32,63 @@ from ..psis import _tail_len, gpdfit, gpinv
 __all__ = ['psislw_sharded', 'psisloo_sharded', 'sharded_psis_moments']
 
 
+def _smooth_local(lw_local, axis, tail_len, cutoffmin):
+    """Per-device PSIS smoothing body: the local shard of log-weights in,
+    the smoothed local shard plus the (replicated) khat out.
+
+    Runs inside any `shard_map` whose mesh carries the named `axis` —
+    `psislw_sharded` wraps it directly, and the 2-D multistart pipeline
+    (`pipeline._multistart_sharded2d`) vmaps it per start with the sample
+    collectives riding the same axis.
+    """
+    gmax = jax.lax.pmax(jnp.max(lw_local), axis)
+    x = lw_local - gmax
+
+    # (1)-(2): local top-k, gather only the candidates.  Each device
+    # contributes its top tail_len+1 so the gathered pool provably
+    # contains the global top tail_len+1 (tail plus cutoff element),
+    # including on a single-device mesh.
+    local_top, _ = jax.lax.top_k(x, min(tail_len + 1, x.shape[0]))
+    cands = jax.lax.all_gather(local_top, axis).reshape(-1)
+    # (3): replicated global tail (descending) and cutoff
+    g_top, _ = jax.lax.top_k(cands, tail_len + 1)
+    xcutoff = jnp.maximum(g_top[tail_len], cutoffmin)
+    tail_desc = g_top[:tail_len]
+    tail_asc = tail_desc[::-1]
+    mask = tail_asc > xcutoff
+    n2 = jnp.sum(mask)
+
+    expxcutoff = jnp.exp(xcutoff)
+    exceedances = jnp.exp(tail_asc) - expxcutoff
+    k, sigma = gpdfit(exceedances, mask, n2)
+    khat = jnp.where(n2 <= 4, jnp.inf, k)
+    do_smooth = (n2 > 4) & (k >= 1.0 / 3.0) & jnp.isfinite(k)
+
+    pos_in_valid = jnp.arange(tail_len) - (tail_len - n2)
+    n2f = jnp.maximum(n2, 1).astype(x.dtype)
+    sti = jnp.clip((pos_in_valid.astype(x.dtype) + 0.5) / n2f,
+                   1e-12, 1 - 1e-12)
+    qq = jnp.log(gpinv(sti, k, sigma) + expxcutoff)     # ascending
+
+    # (4): rank of each local above-cutoff weight among the ascending
+    # valid tail = (tail_len - n2) + #{valid tail values < v}.  For
+    # v > xcutoff every invalid (<= cutoff) tail entry is strictly
+    # below v, so that sum is exactly #{tail values < v} — a
+    # searchsorted on the sorted tail, O(n_local log tail_len) instead
+    # of the O(n_local * tail_len) mask-and-count
+    in_tail = x > xcutoff
+    rank = jnp.clip(jnp.searchsorted(tail_asc, x), 0, tail_len - 1)
+    smoothed_vals = qq[rank]
+    x_new = jnp.where(in_tail & do_smooth, smoothed_vals, x)
+    x_new = jnp.where(do_smooth, jnp.minimum(x_new, 0.0), x_new)
+
+    # (5): distributed logsumexp renormalization
+    m = jax.lax.pmax(jnp.max(x_new), axis)
+    z = jax.lax.psum(jnp.sum(jnp.exp(x_new - m)), axis)
+    x_new = x_new - (jnp.log(z) + m)
+    return x_new, khat
+
+
 @lru_cache(maxsize=64)
 def _build_psislw(mesh, axis, tail_len, cutoffmin, ndim=1):
     """Compiled-closure cache (shard_map programs are keyed on function
@@ -47,52 +104,7 @@ def _build_psislw(mesh, axis, tail_len, cutoffmin, ndim=1):
     # device from the all_gather'ed candidates, but the replication checker
     # cannot infer that statically.
     def smooth_one(lw_local):
-        gmax = jax.lax.pmax(jnp.max(lw_local), axis)
-        x = lw_local - gmax
-
-        # (1)-(2): local top-k, gather only the candidates.  Each device
-        # contributes its top tail_len+1 so the gathered pool provably
-        # contains the global top tail_len+1 (tail plus cutoff element),
-        # including on a single-device mesh.
-        local_top, _ = jax.lax.top_k(x, min(tail_len + 1, x.shape[0]))
-        cands = jax.lax.all_gather(local_top, axis).reshape(-1)
-        # (3): replicated global tail (descending) and cutoff
-        g_top, _ = jax.lax.top_k(cands, tail_len + 1)
-        xcutoff = jnp.maximum(g_top[tail_len], cutoffmin)
-        tail_desc = g_top[:tail_len]
-        tail_asc = tail_desc[::-1]
-        mask = tail_asc > xcutoff
-        n2 = jnp.sum(mask)
-
-        expxcutoff = jnp.exp(xcutoff)
-        exceedances = jnp.exp(tail_asc) - expxcutoff
-        k, sigma = gpdfit(exceedances, mask, n2)
-        khat = jnp.where(n2 <= 4, jnp.inf, k)
-        do_smooth = (n2 > 4) & (k >= 1.0 / 3.0) & jnp.isfinite(k)
-
-        pos_in_valid = jnp.arange(tail_len) - (tail_len - n2)
-        n2f = jnp.maximum(n2, 1).astype(x.dtype)
-        sti = jnp.clip((pos_in_valid.astype(x.dtype) + 0.5) / n2f,
-                       1e-12, 1 - 1e-12)
-        qq = jnp.log(gpinv(sti, k, sigma) + expxcutoff)     # ascending
-
-        # (4): rank of each local above-cutoff weight among the ascending
-        # valid tail = (tail_len - n2) + #{valid tail values < v}.  For
-        # v > xcutoff every invalid (<= cutoff) tail entry is strictly
-        # below v, so that sum is exactly #{tail values < v} — a
-        # searchsorted on the sorted tail, O(n_local log tail_len) instead
-        # of the O(n_local * tail_len) mask-and-count
-        in_tail = x > xcutoff
-        rank = jnp.clip(jnp.searchsorted(tail_asc, x), 0, tail_len - 1)
-        smoothed_vals = qq[rank]
-        x_new = jnp.where(in_tail & do_smooth, smoothed_vals, x)
-        x_new = jnp.where(do_smooth, jnp.minimum(x_new, 0.0), x_new)
-
-        # (5): distributed logsumexp renormalization
-        m = jax.lax.pmax(jnp.max(x_new), axis)
-        z = jax.lax.psum(jnp.sum(jnp.exp(x_new - m)), axis)
-        x_new = x_new - (jnp.log(z) + m)
-        return x_new, khat
+        return _smooth_local(lw_local, axis, tail_len, cutoffmin)
 
     if ndim == 1:
         smooth = partial(jax.shard_map, mesh=mesh, in_specs=P(axis),
@@ -158,18 +170,25 @@ def psisloo_sharded(log_lik, mesh, axis='sample', **kwargs):
     return float(jnp.sum(loos)), loos, ks
 
 
+def _psis_moments_local(x_local, slw_local, axis):
+    """Per-device body of the importance-weighted moment reduction (shared
+    by `sharded_psis_moments` and the 2-D multistart pipeline)."""
+    m = jax.lax.pmax(jnp.max(slw_local), axis)
+    w = jnp.exp(slw_local - m)
+    wsum = jax.lax.psum(jnp.sum(w), axis)
+    w = w / wsum
+    mean = jax.lax.psum(jnp.sum(w[:, None] * x_local, axis=0), axis)
+    c = x_local - mean
+    cov = jax.lax.psum((w[:, None] * c).T @ c, axis)
+    return mean, cov
+
+
 @lru_cache(maxsize=64)
 def _build_psis_moments(mesh, axis):
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis, None), P(axis)),
              out_specs=P())
     def moments(x_local, slw_local):
-        m = jax.lax.pmax(jnp.max(slw_local), axis)
-        w = jnp.exp(slw_local - m)
-        wsum = jax.lax.psum(jnp.sum(w), axis)
-        w = w / wsum
-        mean = jax.lax.psum(jnp.sum(w[:, None] * x_local, axis=0), axis)
-        c = x_local - mean
-        cov = jax.lax.psum((w[:, None] * c).T @ c, axis)
+        mean, cov = _psis_moments_local(x_local, slw_local, axis)
         return dict(mean=mean, cov=cov)
 
     return moments

@@ -340,13 +340,108 @@ def _assemble_bounds(host_pack, n, dim, alpha, log_norm_bound):
     return bounds, khat
 
 
+@partial(jax.jit, static_argnames=(
+    'obj', 'var_family', 'log_density', 'n_iters', 'n_bound_samples',
+    'window', 'learning_rate', 'epsilon', 'learning_rate_end', 'alpha',
+    'unroll', 'tail_len', 'mesh', 'chain_axis', 'sample_axis'))
+def _multistart_sharded2d(obj, var_family, log_density, n_iters,
+                          n_bound_samples, window, learning_rate, epsilon,
+                          learning_rate_end, alpha, unroll, tail_len, mesh,
+                          chain_axis, sample_axis, init_params, keys):
+    """Both mesh axes active in ONE fused program: the start axis is
+    partitioned over `chain_axis` and every start's bound/PSIS stage is
+    sharded over `sample_axis`.
+
+    On a (C, S) mesh, each device runs ``n_starts / C`` complete optimizer
+    scans (replicated along the sample axis — the variational parameters
+    are tiny, so recomputing beats communicating) and then draws/scores
+    only ``n_bound_samples / S`` of each of its starts' bound samples; the
+    log-weight statistics, PSIS tail fit, and corrected moments ride
+    `sample_axis` collectives *inside* a vmap over the local starts.  This
+    is the production pod layout SURVEY.md section 2.4 calls for: K starts
+    x sample-sharded 2.5e6-sample bounds in a single dispatch
+    (reference anchors: viabel/vb.py:417 — the sequential start loop —
+    and viabel/bounds.py:169-176 — the sample reduction being sharded).
+    """
+    from jax.sharding import PartitionSpec as P
+    from .parallel.sharded_bounds import (_central_moments_from_locals,
+                                          _stats_from_locals)
+    from .parallel.sharded_psis import _psis_moments_local, _smooth_local
+
+    n_local = n_bound_samples // mesh.shape[sample_axis]
+    # static probe: does the family have closed-form C2/C4 moments?
+    # (ValueError is raised at trace time for e.g. a t family with df <= 4,
+    # independent of the parameter value — same static branch as
+    # `_pipeline_run_sharded`)
+    need_empirical = _closed_form_moments(var_family, init_params[0],
+                                          alpha) is None
+
+    out_specs = dict(
+        opt_param=P(chain_axis, None),
+        value_history=P(chain_axis, None),
+        log_norm_history=P(chain_axis, None),
+        q_mean=P(chain_axis, None),
+        q_cov=P(chain_axis, None, None),
+        log_weights=P(chain_axis, sample_axis),
+        smoothed_log_weights=P(chain_axis, sample_axis),
+        khat=P(chain_axis),
+        psis_mean=P(chain_axis, None),
+        psis_cov=P(chain_axis, None, None),
+        host_pack=P(chain_axis, None),
+    )
+
+    # check_vma=False for the same reason as parallel/sharded_psis: the
+    # tail statistics are recomputed identically on every sample-axis
+    # member from the all_gather'ed candidates, which the replication
+    # checker cannot infer statically.
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(chain_axis, None), P(chain_axis, None)),
+             out_specs=out_specs, check_vma=False)
+    def run(local_inits, local_keys):
+        def one_start(init_param, key):
+            opt_key, draw_key = jax.random.split(key)
+            # replicated along sample_axis: identical inputs -> identical
+            # trajectory on every member, no communication needed
+            values, log_norms, opt_param = _optimize_and_average(
+                obj, n_iters, window, learning_rate, epsilon,
+                learning_rate_end, unroll, init_param, opt_key)
+
+            sidx = jax.lax.axis_index(sample_axis)
+            k_local = jax.random.fold_in(draw_key, sidx)
+            samples = var_family.sample(k_local, opt_param, n_local)
+            lw_local = (log_density(samples)
+                        - var_family.log_prob(opt_param, samples))
+            stats = _stats_from_locals(lw_local, alpha, n_bound_samples,
+                                       sample_axis)
+            if need_empirical:
+                cm = _central_moments_from_locals(samples, n_bound_samples,
+                                                  sample_axis)
+                moments = {2: cm['C2'], 4: cm['C4']}
+            else:
+                moments = _closed_form_moments(var_family, opt_param, alpha)
+
+            cutoffmin = jnp.log(jnp.finfo(lw_local.dtype).tiny)
+            slw, khat = _smooth_local(lw_local, sample_axis, tail_len,
+                                      cutoffmin)
+            psis_mean, psis_cov = _psis_moments_local(samples, slw,
+                                                      sample_axis)
+            return _result_dict(var_family, values, log_norms, opt_param,
+                                stats, moments, lw_local, slw, khat,
+                                psis_mean, psis_cov)
+
+        return jax.vmap(one_start)(local_inits, local_keys)
+
+    return run(init_params, keys)
+
+
 def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
                             n_starts=4, perturb_scale=0.5, init_params=None,
                             objective_and_grad=None, n_mc_samples=100,
                             n_bound_samples=1000000, alpha=2.0, key=None,
                             has_log_norm=None, window=10, learning_rate=0.01,
                             epsilon=0.1, learning_rate_end=None, unroll=4,
-                            log_norm_bound=None, mesh=None, axis='chain'):
+                            log_norm_bound=None, mesh=None, axis='chain',
+                            sample_axis='sample'):
     """K independent validated-VI runs batched into ONE compiled program.
 
     The reference runs multi-start optimization as a sequential Python loop
@@ -363,7 +458,17 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
     With `mesh=`, the start axis is placed on the mesh's `axis` (default
     ``chain``) and GSPMD partitions the batch across devices — N starts on
     N devices run in one start's wall-clock, the same pattern
-    `parallel.shard_chain_inputs` applies to the IA chains runner.
+    `parallel.shard_chain_inputs` applies to the IA chains runner.  When
+    the mesh *also* carries `sample_axis` (default ``sample``) with more
+    than one member — e.g. a 2x4 ``(chain, sample)`` mesh — both axes run
+    in one fused program: starts partition over `axis` AND each start's
+    bound/PSIS stage shards over `sample_axis` (`_multistart_sharded2d`),
+    so a (C, S) mesh runs C start-groups x S-way-sharded bound passes
+    simultaneously.  `sample_axis` must then divide `n_bound_samples`; the
+    per-start optimizer trajectories are identical to the unsharded run
+    (same keys), only the bound-stage Monte Carlo draws differ (per-device
+    fold_in keys, the `validated_vi(mesh=)` discipline).  Pass
+    ``sample_axis=None`` to force the start-axis-only placement.
 
     Returns
     -------
@@ -400,6 +505,22 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
         keys = jax.device_put(
             keys, NamedSharding(mesh, P(*([axis] + [None] * (keys.ndim
                                                              - 1)))))
+        if (sample_axis is not None and sample_axis in mesh.axis_names
+                and mesh.shape[sample_axis] > 1):
+            # both mesh axes in one fused program
+            if n_bound_samples % mesh.shape[sample_axis]:
+                raise ValueError(
+                    'the mesh {} axis size ({}) must divide '
+                    'n_bound_samples ({})'.format(
+                        sample_axis, mesh.shape[sample_axis],
+                        n_bound_samples))
+            out = _multistart_sharded2d(
+                obj, var_family, log_density, n_iters, n_bound_samples,
+                window, learning_rate, epsilon, learning_rate_end, alpha,
+                unroll, _tail_len(n_bound_samples, 1.0), mesh, axis,
+                sample_axis, init_params, keys)
+            return _finalize_batch(out, n_starts, n_bound_samples,
+                                   var_family.dim, alpha, log_norm_bound)
     tail_len = _tail_len(n_bound_samples, 1.0)
     runner = _multistart_runner(obj, var_family, log_density, n_iters,
                                 n_bound_samples, window, learning_rate,
