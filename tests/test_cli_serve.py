@@ -260,3 +260,159 @@ def test_posterior_service_failed_fit_releases_config_slot():
     # both slots must still be free for valid configurations
     service.fit(n_iters=50, n_mc_samples=20, n_bound_samples=1000)
     service.fit(n_iters=60, n_mc_samples=20, n_bound_samples=1000)
+
+
+def _make_service(**kwargs):
+    from viabel_tpu.serve import PosteriorService
+    from viabel_tpu import mean_field_gaussian_variational_family
+    from viabel_tpu.models import funnel_model
+    return PosteriorService(
+        funnel_model(), mean_field_gaussian_variational_family(2),
+        jnp.asarray([0.0, 0.0, -0.4, -0.4], dtype=jnp.float64), **kwargs)
+
+
+def test_fit_busy_rejected_not_queued():
+    """A concurrent /fit is rejected with ServiceBusyError (HTTP 503), not
+    silently queued behind the running one."""
+    import urllib.error
+    from viabel_tpu.serve import ServiceBusyError, start_server
+
+    service = _make_service()
+    # deterministically simulate an in-flight fit
+    assert service._fit_lock.acquire(blocking=False)
+    try:
+        with pytest.raises(ServiceBusyError, match='already running'):
+            service.fit(n_iters=10, n_mc_samples=10, n_bound_samples=1000)
+        httpd, _ = start_server(service, port=0)
+        base = 'http://127.0.0.1:{}'.format(httpd.server_address[1])
+        try:
+            req = urllib.request.Request(
+                base + '/fit',
+                data=json.dumps({'n_iters': 10, 'n_mc_samples': 10,
+                                 'n_bound_samples': 1000}).encode(),
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 503
+        finally:
+            httpd.shutdown()
+    finally:
+        service._fit_lock.release()
+    # once released, the same request succeeds
+    out = service.fit(n_iters=10, n_mc_samples=10, n_bound_samples=1000)
+    assert np.isfinite(out['bounds']['d2'])
+
+
+def test_log_prob_bucket_clamped_to_limit():
+    """The padded /log_prob batch never exceeds max_bound_samples even when
+    the power-of-two bucket would (ADVICE r2: n=600 would pad to 1024)."""
+    service = _make_service(max_bound_samples=1000)
+    x = np.random.RandomState(0).randn(600, 2)
+    lp = service.log_prob(x)
+    assert lp.shape == (600,)
+    from viabel_tpu import mean_field_gaussian_variational_family
+    fam = mean_field_gaussian_variational_family(2)
+    expected = np.asarray(fam.log_prob(service.var_param,
+                                       jnp.asarray(x, dtype=jnp.float32)))
+    np.testing.assert_allclose(lp, expected, rtol=1e-5)
+    with pytest.raises(ValueError, match='exceeds the service limit'):
+        service.log_prob(np.zeros((1001, 2)))
+
+
+def test_param_from_checkpoint_kinds(tmp_path):
+    """`serve --param` disambiguates checkpoint kinds: the multichain IA
+    checkpoint's (n_chains, P) 'params' entry must NOT be tail-averaged by
+    iteration index (ADVICE r2: that yields an all-NaN served parameter)."""
+    from viabel_tpu.serve import _param_from_checkpoint
+    from viabel_tpu import (black_box_klvi,
+                            mean_field_gaussian_variational_family,
+                            rmsprop_IA_optimize_with_rhat)
+    from viabel_tpu.checkpoint import adagrad_optimize_resumable
+    from viabel_tpu.models import funnel_model
+
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    obj = black_box_klvi(fam, model.log_prob, 10)
+    init = fam.init_param()
+
+    # multichain IA checkpoint (the CLI's rmsprop_ia --checkpoint-path path)
+    multi = str(tmp_path / 'multi.npz')
+    out = rmsprop_IA_optimize_with_rhat(
+        60, obj, init, 2, n_optimisers=2, rhat_window=20, tail_avg_iters=20,
+        checkpoint_path=multi, save_every=30)
+    vp = _param_from_checkpoint(multi)
+    assert vp.shape == (4,)
+    assert np.all(np.isfinite(vp)), 'multichain checkpoint served NaN'
+    # it equals the tail-quarter mean of the retained chain history
+    chains = np.asarray(out[1])
+    np.testing.assert_allclose(
+        vp, chains[:, 3 * chains.shape[1] // 4:].mean(axis=(0, 1)),
+        rtol=1e-6)
+
+    # adagrad resumable checkpoint: tail-quarter mean of the iterate history
+    single = str(tmp_path / 'single.npz')
+    sm, _, _, _ = adagrad_optimize_resumable(
+        40, obj, init, checkpoint_path=single, save_every=20)
+    np.testing.assert_allclose(_param_from_checkpoint(single),
+                               np.asarray(sm), rtol=1e-6)
+
+    # plain npz with a single parameter vector
+    raw = str(tmp_path / 'raw.npz')
+    np.savez(raw, w=np.asarray(init))
+    np.testing.assert_allclose(_param_from_checkpoint(raw),
+                               np.asarray(init))
+
+
+def test_cli_run_multistart(capsys):
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '200', '--n-mc', '10',
+          '--bound-samples', '4000', '--starts', '4',
+          '--perturb-scale', '0.1'])
+    out = capsys.readouterr().out
+    assert 'start 0 (unperturbed)' in out
+    assert 'best by validated d2 bound' in out
+    assert 'khat =' in out
+
+
+def test_cli_run_sweep(capsys):
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '200', '--n-mc', '10',
+          '--bound-samples', '4000', '--sweep-lr', '0.1,0.01'])
+    out = capsys.readouterr().out
+    assert 'lr 0.1' in out and 'lr 0.01' in out
+    assert 'best by validated d2 bound' in out
+
+
+def test_cli_run_batched_flag_validation():
+    from viabel_tpu.__main__ import main
+    with pytest.raises(SystemExit, match='mutually exclusive'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--starts', '2', '--sweep-lr', '0.1,0.01'])
+    with pytest.raises(SystemExit, match='adagrad'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--optimizer', 'adam_ia', '--starts', '2'])
+    with pytest.raises(SystemExit, match='checkpoint'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--starts', '2', '--checkpoint-path', '/tmp/x.npz'])
+    with pytest.raises(SystemExit, match='bound-samples'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--starts', '2', '--bound-samples', '0'])
+
+
+def test_posterior_service_fit_multistart():
+    """/fit with n_starts > 1 runs the fused multistart pipeline and swaps
+    in the best start."""
+    service = _make_service()
+    out = service.fit(n_iters=300, n_mc_samples=20, n_bound_samples=4000,
+                      n_starts=4, perturb_scale=0.1)
+    assert out['n_starts'] == 4
+    assert 0 <= out['best'] < 4
+    assert np.isfinite(out['bounds']['d2'])
+    # the served posterior reflects the winning start
+    np.testing.assert_allclose(service.moments()['mean'], out['mean'])
+    # resource limits account for the start multiplier
+    with pytest.raises(ValueError, match='n_starts \\* n_bound_samples'):
+        service.fit(n_iters=10, n_mc_samples=10, n_bound_samples=2000000,
+                    n_starts=4)
+    with pytest.raises(ValueError, match='must all be positive'):
+        service.fit(n_starts=0)

@@ -47,6 +47,11 @@ def _cmd_run(args):
     opt_key, bound_key, psis_key = jax.random.split(key, 3)
     init = family.init_param()
 
+    n_starts = getattr(args, 'starts', None)
+    sweep_lr = getattr(args, 'sweep_lr', None)
+    if n_starts or sweep_lr:
+        return _run_batched(args, cfg, model, family, objective, opt_key)
+
     if getattr(args, 'fused', False):
         # the whole workflow as one compiled device program
         if cfg.optimizer != 'adagrad':
@@ -144,6 +149,94 @@ def _cmd_run(args):
             float(khat), '  (> 0.7: unreliable)' if khat > 0.7 else ''))
 
 
+def _run_batched(args, cfg, model, family, objective, opt_key):
+    """``run --starts K`` / ``run --sweep-lr a,b,c``: the batched
+    single-dispatch pipelines (`validated_vi_multistart` /
+    `validated_vi_sweep`), mesh-aware when more than one device is
+    attached (the start axis partitions over a ``chain`` mesh; on a
+    multi-axis mesh each start's bound pass also shards over ``sample``).
+    """
+    import jax
+    import numpy as np
+    from .experiments import check_approx_accuracy, print_bounds
+
+    n_starts = getattr(args, 'starts', None)
+    sweep_lr = getattr(args, 'sweep_lr', None)
+    if n_starts and sweep_lr:
+        sys.exit('--starts and --sweep-lr are mutually exclusive (one '
+                 'batched pipeline per run)')
+    if cfg.optimizer != 'adagrad':
+        sys.exit('--starts/--sweep-lr run the batched adagrad pipelines; '
+                 'set --optimizer adagrad (or drop --optimizer)')
+    if not cfg.bound_samples:
+        sys.exit('--starts/--sweep-lr validate every run with bounds; '
+                 '--bound-samples must be > 0')
+    if cfg.checkpoint_path:
+        sys.exit('--starts/--sweep-lr are single-dispatch programs and do '
+                 'not support --checkpoint-path')
+
+    init = family.init_param()
+    common = dict(objective_and_grad=objective,
+                  n_bound_samples=cfg.bound_samples, key=opt_key)
+
+    if n_starts:
+        from .pipeline import validated_vi_multistart
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and n_starts % n_dev == 0:
+            # partition the start axis over all attached devices
+            from .parallel import make_mesh
+            mesh = make_mesh(axis_names=('chain',), shape=(n_dev,))
+            print('mesh: {} devices on the chain axis'.format(n_dev))
+        out = validated_vi_multistart(
+            model.log_prob, family, init, cfg.n_iters, n_starts=n_starts,
+            perturb_scale=args.perturb_scale,
+            learning_rate=cfg.learning_rate,
+            learning_rate_end=cfg.learning_rate_end, mesh=mesh, **common)
+        labels = ['start {}{}'.format(k, ' (unperturbed)' if k == 0 else '')
+                  for k in range(n_starts)]
+    else:
+        from .pipeline import validated_vi_sweep
+        try:
+            lrs = [float(v) for v in sweep_lr.split(',') if v]
+        except ValueError:
+            sys.exit('--sweep-lr takes a comma-separated list of rates, '
+                     'e.g. --sweep-lr 0.1,0.03,0.01')
+        lr_ends = None
+        if args.sweep_lr_end:
+            try:
+                lr_ends = [float(v) for v in args.sweep_lr_end.split(',')
+                           if v]
+            except ValueError:
+                sys.exit('--sweep-lr-end takes a comma-separated list')
+        out = validated_vi_sweep(
+            model.log_prob, family, init, cfg.n_iters, learning_rates=lrs,
+            learning_rate_ends=lr_ends, **common)
+        labels = ['lr {:g}'.format(lr) for lr in lrs]
+
+    values = np.asarray(out['value_history'])
+    for k, label in enumerate(labels):
+        b, khat = out['bounds'][k], out['khat'][k]
+        print('{:>22}: d2 = {:<10.4g} khat = {:+.3f}  final loss = '
+              '{:.6g}'.format(label, b['d2'], khat,
+                              float(values[k][-max(values.shape[1] // 10,
+                                                   1):].mean())))
+    best = out['best']
+    print('best by validated d2 bound: {}'.format(labels[best]))
+    best_param = out['opt_param'][best]
+    print('posterior mean estimate:',
+          np.round(np.asarray(out['q_mean'][best]), 4))
+    if model.true_mean is not None:
+        check_approx_accuracy(family, best_param, model.true_mean,
+                              model.true_cov, verbose=True)
+    print_bounds(out['bounds'][best])
+    khat = out['khat'][best]
+    print('khat = {:.3f}{}'.format(
+        khat, '  (> 0.7: unreliable)' if khat > 0.7 else ''))
+    print('PSIS-corrected mean:',
+          np.round(np.asarray(out['psis_mean'][best]), 4))
+
+
 def _cmd_bench(args):
     import os
     import runpy
@@ -193,6 +286,25 @@ def main(argv=None):
     pr.add_argument('--fused', action='store_true',
                     help='run the whole workflow (optimize + bounds + PSIS)'
                          ' as one compiled device program (validated_vi)')
+    pr.add_argument('--starts', type=int,
+                    help='run K complete validated pipelines from perturbed '
+                         'inits in ONE compiled program '
+                         '(validated_vi_multistart; partitions over a '
+                         'device mesh when several devices are attached) '
+                         'and report the start with the tightest validated '
+                         'bound')
+    pr.add_argument('--perturb-scale', dest='perturb_scale', type=float,
+                    default=0.5,
+                    help='multistart init perturbation scale '
+                         '(default 0.5, the reference scheme)')
+    pr.add_argument('--sweep-lr', dest='sweep_lr',
+                    help='comma-separated learning rates; runs the complete '
+                         'validated pipeline once per rate in ONE compiled '
+                         'program (validated_vi_sweep) with common random '
+                         'numbers and reports the best rate')
+    pr.add_argument('--sweep-lr-end', dest='sweep_lr_end',
+                    help='comma-separated schedule end rates matching '
+                         '--sweep-lr')
     pr.set_defaults(fn=_cmd_run)
 
     pb = sub.add_parser('bench', help='run the throughput benchmark')

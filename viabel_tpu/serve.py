@@ -28,7 +28,14 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-__all__ = ['PosteriorService', 'serve']
+__all__ = ['PosteriorService', 'ServiceBusyError', 'serve']
+
+
+class ServiceBusyError(RuntimeError):
+    """A `/fit` is already running; the request was rejected, not queued
+    (mapped to HTTP 503 by the handler).  Re-fits hold the device for
+    seconds to minutes, so silently serializing concurrent fits behind a
+    lock would stall every later request with no backpressure signal."""
 
 
 class PosteriorService:
@@ -39,7 +46,8 @@ class PosteriorService:
     up to the next power of two before
     compiling (so at most ~log2(max) programs ever compile per endpoint),
     and `/fit` admits at most `max_distinct_fit_configs` distinct
-    (n_iters, n_mc, n_bound, lr, lr_end) tuples — each distinct tuple
+    (n_iters, n_mc, n_bound, lr, lr_end, n_starts, perturb_scale) tuples
+    — each distinct tuple
     compiles and permanently caches a pipeline executable, so an unbounded
     variety would grow server memory without limit.  `/fit`'s total draw
     volume is also bounded: the presampled pipeline materializes an
@@ -63,6 +71,7 @@ class PosteriorService:
         self._fit_configs = set()
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
+        self._fit_lock = threading.Lock()  # held for a /fit's full duration
 
         self._sample = jax.jit(family.sample, static_argnums=2)
         self._log_prob = jax.jit(family.log_prob)
@@ -117,8 +126,11 @@ class PosteriorService:
         # pad the batch to a power-of-two bucket: every distinct shape
         # traces and permanently caches a new executable, so an unbucketed
         # batch axis would grow server memory without bound (the same
-        # resource rule /sample and /bounds follow — class docstring)
-        padded = np.zeros((self._bucket(n), x.shape[1]), dtype=x.dtype)
+        # resource rule /sample and /bounds follow — class docstring).
+        # The bucket is clamped to the declared limit — otherwise a batch
+        # just under the cap would compile a program ~2x past it
+        padded = np.zeros((min(self._bucket(n), self.max_bound_samples),
+                           x.shape[1]), dtype=x.dtype)
         padded[:n] = x
         return np.asarray(self._log_prob(var_param, jnp.asarray(padded))[:n])
 
@@ -136,34 +148,63 @@ class PosteriorService:
         return {k: float(v) for k, v in res.items()}
 
     def fit(self, n_iters=2000, n_mc_samples=100, n_bound_samples=100000,
-            learning_rate=0.01, learning_rate_end=None):
+            learning_rate=0.01, learning_rate_end=None, n_starts=1,
+            perturb_scale=0.5):
         """Re-fit with the fused pipeline, warm-starting from the served
         parameter, and atomically swap in the result.  Returns the new
-        fit's validated bounds, khat, and moments."""
-        import jax.numpy as jnp
-        from .pipeline import validated_vi
-        n_iters, n_mc_samples, n_bound_samples = (
-            int(n_iters), int(n_mc_samples), int(n_bound_samples))
-        if min(n_iters, n_mc_samples, n_bound_samples) <= 0:
-            raise ValueError('n_iters, n_mc_samples, and n_bound_samples '
-                             'must all be positive')
+        fit's validated bounds, khat, and moments.  Raises
+        `ServiceBusyError` (HTTP 503) if another fit is in flight.
+
+        With ``n_starts > 1`` the fused multistart pipeline runs K complete
+        pipelines in one program (start 0 = the served parameter
+        unperturbed; `validated_vi_multistart`), swaps in the start with
+        the tightest validated 2-divergence bound, and reports its index as
+        ``best``.  Device memory scales with ``n_starts *
+        max(n_bound_samples, n_iters * n_mc_samples)``, so `n_starts`
+        multiplies the resource checks."""
+        n_iters, n_mc_samples, n_bound_samples, n_starts = (
+            int(n_iters), int(n_mc_samples), int(n_bound_samples),
+            int(n_starts))
+        if min(n_iters, n_mc_samples, n_bound_samples, n_starts) <= 0:
+            raise ValueError('n_iters, n_mc_samples, n_bound_samples, and '
+                             'n_starts must all be positive')
         if n_iters > self.max_fit_iters:
             raise ValueError('n_iters {} exceeds the service limit {}'
                              .format(n_iters, self.max_fit_iters))
-        if n_bound_samples > self.max_bound_samples:
-            raise ValueError('n_bound_samples {} exceeds the service '
-                             'limit {}'.format(n_bound_samples,
-                                               self.max_bound_samples))
-        if n_iters * n_mc_samples > self.max_fit_evals:
+        if n_starts * n_bound_samples > self.max_bound_samples:
+            raise ValueError('n_starts * n_bound_samples = {} exceeds the '
+                             'service limit {}'.format(
+                                 n_starts * n_bound_samples,
+                                 self.max_bound_samples))
+        if n_starts * n_iters * n_mc_samples > self.max_fit_evals:
             raise ValueError(
-                'n_iters * n_mc_samples = {} exceeds the service limit {} '
-                '(the presampled pipeline materializes an (n_iters, '
-                'n_mc_samples, dim) draw array)'.format(
-                    n_iters * n_mc_samples, self.max_fit_evals))
+                'n_starts * n_iters * n_mc_samples = {} exceeds the '
+                'service limit {} (the presampled pipeline materializes '
+                'an (n_iters, n_mc_samples, dim) draw array per '
+                'start)'.format(n_starts * n_iters * n_mc_samples,
+                                self.max_fit_evals))
         lr = float(learning_rate)
         lr_end = None if learning_rate_end is None else float(
             learning_rate_end)
-        cfg = (n_iters, n_mc_samples, n_bound_samples, lr, lr_end)
+        pscale = float(perturb_scale)
+        # reject (not queue) a concurrent fit: the caller gets an immediate
+        # 503 instead of an unbounded wait behind the running one
+        if not self._fit_lock.acquire(blocking=False):
+            raise ServiceBusyError(
+                'a fit is already running; retry when it completes '
+                '(concurrent fits are rejected, not queued)')
+        try:
+            return self._fit_locked(n_iters, n_mc_samples, n_bound_samples,
+                                    lr, lr_end, n_starts, pscale)
+        finally:
+            self._fit_lock.release()
+
+    def _fit_locked(self, n_iters, n_mc_samples, n_bound_samples, lr,
+                    lr_end, n_starts, pscale):
+        import jax.numpy as jnp
+        from .pipeline import validated_vi, validated_vi_multistart
+        cfg = (n_iters, n_mc_samples, n_bound_samples, lr, lr_end,
+               n_starts, pscale)
         with self._lock:
             is_new_cfg = cfg not in self._fit_configs
             if is_new_cfg:
@@ -177,12 +218,29 @@ class PosteriorService:
                             self.max_distinct_fit_configs))
                 self._fit_configs.add(cfg)
         var_param, _, _ = self._snapshot()
+        best = None
         try:
-            out = validated_vi(self.model.log_prob, self.family, var_param,
-                               n_iters, n_mc_samples=n_mc_samples,
-                               n_bound_samples=n_bound_samples,
-                               key=self._next_key(),
-                               learning_rate=lr, learning_rate_end=lr_end)
+            if n_starts > 1:
+                ms = validated_vi_multistart(
+                    self.model.log_prob, self.family, var_param, n_iters,
+                    n_starts=n_starts, perturb_scale=pscale,
+                    n_mc_samples=n_mc_samples,
+                    n_bound_samples=n_bound_samples, key=self._next_key(),
+                    learning_rate=lr, learning_rate_end=lr_end)
+                best = ms['best']
+                # project the winning start's slices into the
+                # single-fit result layout
+                out = dict(
+                    opt_param=ms['opt_param'][best],
+                    q_mean=ms['q_mean'][best], q_cov=ms['q_cov'][best],
+                    bounds=ms['bounds'][best], khat=ms['khat'][best],
+                    value_history=ms['value_history'][best])
+            else:
+                out = validated_vi(
+                    self.model.log_prob, self.family, var_param, n_iters,
+                    n_mc_samples=n_mc_samples,
+                    n_bound_samples=n_bound_samples, key=self._next_key(),
+                    learning_rate=lr, learning_rate_end=lr_end)
         except (ValueError, TypeError):
             # Validation / trace-time errors are raised before anything
             # compiled, so the config slot can be returned.  Failures from
@@ -200,12 +258,16 @@ class PosteriorService:
             self.var_param = jnp.asarray(out['opt_param'])
             self.mean = mean
             self.cov = cov
-        return dict(
+        res = dict(
             bounds={k: float(v) for k, v in out['bounds'].items()},
             khat=float(out['khat']),
             mean=mean.tolist(),
             # device-side index: fetch one scalar, not the whole history
             final_loss=float(out['value_history'][-1]))
+        if best is not None:
+            res['best'] = int(best)
+            res['n_starts'] = n_starts
+        return res
 
 
 def _make_handler(service):
@@ -272,7 +334,8 @@ def _make_handler(service):
                     self._json(dict(log_prob=lp.tolist()))
                 elif url.path == '/fit':
                     allowed = {'n_iters', 'n_mc_samples', 'n_bound_samples',
-                               'learning_rate', 'learning_rate_end'}
+                               'learning_rate', 'learning_rate_end',
+                               'n_starts', 'perturb_scale'}
                     unknown = set(payload) - allowed
                     if unknown:
                         return self._json(dict(
@@ -280,6 +343,8 @@ def _make_handler(service):
                                 sorted(unknown))), 400)
                     try:
                         self._json(service.fit(**payload))
+                    except ServiceBusyError as e:  # a fit is in flight
+                        self._json(dict(error=str(e)), 503)
                     except (ValueError, TypeError) as e:  # bad option values
                         self._json(dict(error=str(e)), 400)
                 else:
@@ -307,6 +372,57 @@ def start_server(service, port=8080, host='127.0.0.1'):
     return httpd, t
 
 
+def _param_from_checkpoint(path):
+    """Served variational parameter from an optimizer checkpoint.
+
+    Checkpoints come in two shapes, and they must be told apart before any
+    averaging — the entries spell the kind:
+
+    * **adagrad resumable** (`checkpoint.adagrad_optimize_resumable`):
+      ``params`` is the full ``(n_iters, P)`` iterate history and ``i`` the
+      completed count — serve the tail-quarter mean, the same fit
+      `adagrad_optimize` reports (reference tail averaging:
+      viabel/vb.py:375-376).
+    * **multichain IA** (`optimizers._chains_run_segmented`, written by the
+      CLI's ``rmsprop_ia``/``adam_ia`` with ``--checkpoint-path``): ``params``
+      is the *current per-chain* ``(n_chains, P)`` parameters and ``hist``
+      the per-chain ring-buffer history — tail-quarter-averaging ``params``
+      by iteration index would silently yield an all-NaN parameter (empty
+      slice mean).  The served parameter is instead the tail-quarter mean of
+      the chronologically-ordered retained history, pooled over chains.
+
+    Plain ``.npz`` files holding a single parameter vector are served as-is.
+    """
+    from .checkpoint import load_checkpoint_entry
+    with np.load(path) as d:
+        names = {k.split(':', 1)[1].split('/')[-1]
+                 for k in d.files if ':' in k}
+    if 'hist' in names:  # multichain IA checkpoint
+        hist = load_checkpoint_entry(path, 'hist')  # (n_chains, cap, P)
+        i_done = int(load_checkpoint_entry(path, 'i'))
+        if i_done <= 0:
+            raise ValueError(
+                '{!r} is a multichain checkpoint with no completed '
+                'iterations; nothing to serve'.format(path))
+        cap = hist.shape[1]
+        kept = min(i_done, cap)
+        # chronological order of the ring buffer (same reconstruction as
+        # optimizers._chains_run_segmented's post-pass)
+        order = (i_done - kept + np.arange(kept)) % cap
+        tail = hist[:, order][:, 3 * kept // 4:]
+        return tail.mean(axis=(0, 1))
+    if 'params' in names and 'i' in names:  # adagrad resumable checkpoint
+        params = load_checkpoint_entry(path, 'params')
+        i_done = int(load_checkpoint_entry(path, 'i'))
+        if 0 < i_done <= params.shape[0]:
+            return params[3 * i_done // 4:i_done].mean(axis=0)
+        return load_checkpoint_entry(path, 'param')
+    if 'param' in names:
+        return load_checkpoint_entry(path, 'param')
+    with np.load(path) as d:
+        return d[d.files[0]]
+
+
 def main(argv=None):
     import argparse
     p = argparse.ArgumentParser(prog='python -m viabel_tpu.serve')
@@ -326,24 +442,7 @@ def main(argv=None):
         cfg = ExperimentConfig.from_json(f.read())
     model, family, objective = build(cfg)
     if args.param:
-        from .checkpoint import load_checkpoint_entry
-        try:
-            # an optimizer checkpoint stores the raw iterates; serve the
-            # tail-quarter-averaged parameter — the fit every other code
-            # path (adagrad_optimize*, the CLI's printed results) reports —
-            # not the noisier final SGD iterate
-            params = load_checkpoint_entry(args.param, 'params')
-            i_done = int(load_checkpoint_entry(args.param, 'i'))
-            if i_done > 0:
-                var_param = params[3 * i_done // 4:i_done].mean(axis=0)
-            else:
-                var_param = load_checkpoint_entry(args.param, 'param')
-        except KeyError:
-            try:
-                var_param = load_checkpoint_entry(args.param, 'param')
-            except KeyError:
-                with np.load(args.param) as d:
-                    var_param = d[d.files[0]]
+        var_param = _param_from_checkpoint(args.param)
     else:
         print('no --param given; fitting {} iters...'.format(cfg.n_iters))
         var_param, _, _, _ = adagrad_optimize(
