@@ -239,3 +239,57 @@ def test_psislw_sharded_f32_ties_match_unsharded():
     shift = np.median(ds - du)
     assert abs(shift) < 1e-3  # the normalizer perturbation itself is tiny
     np.testing.assert_allclose(ds - shift, du, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_ess_reff_closes_the_psis_loop():
+    """End-to-end ESS -> Reff -> PSIS wiring (VERDICT r2 item 6): MCMC
+    draws from `viabel_tpu.mcmc` give ``Reff = effective_sample_size /
+    (n_chains * n_iters)``, which feeds `psisloo`'s tail sizing
+    (reference: notebooks/psis.py:112-155, the Reff parameter's purpose).
+    """
+    from viabel_tpu.diagnostics import effective_sample_size
+    from viabel_tpu.mcmc import hmc_sample
+    from viabel_tpu.models import (data_generator_linear,
+                                   linear_regression_model)
+    from viabel_tpu.psis import _tail_len, psisloo
+
+    data = data_generator_linear(30, 2, rho=0.3, seed=1)
+    model = linear_regression_model(data['X'], data['Y'])
+    # single-leapfrog HMC: deliberately autocorrelated chains, so the ESS
+    # correction is material (Reff ~ 0.33, not ~1)
+    out = hmc_sample(model.log_prob, np.zeros(model.dim),
+                     key=jax.random.PRNGKey(0), n_samples=1000,
+                     n_warmup=400, n_chains=4, max_steps=1, eps0=0.02)
+    chains = np.asarray(out['samples'])          # (4, 1000, d)
+    assert np.all(np.asarray(out['r_hat']) < 1.05)
+
+    ess = np.asarray(effective_sample_size(chains))
+    n_total = chains.shape[0] * chains.shape[1]
+    Reff = float(ess.min()) / n_total
+    assert 0.1 < Reff < 0.6, Reff  # autocorrelated but mixing
+
+    # pointwise log-likelihood of each observation under each draw
+    draws = chains.reshape(n_total, -1)
+    X, Y = np.asarray(data['X']), np.asarray(data['Y'])
+    mu = draws @ X.T
+    s = 0.5  # the model's fixed noise scale
+    log_lik = -0.5 * ((Y[None] - mu) / s) ** 2 \
+        - np.log(s) - 0.5 * np.log(2 * np.pi)
+
+    loo1, _, ks1 = psisloo(jnp.asarray(log_lik))
+    loo2, _, ks2 = psisloo(jnp.asarray(log_lik), Reff=Reff)
+    ks1, ks2 = np.asarray(ks1), np.asarray(ks2)
+
+    # Reff < 1 enlarges the fitted tail: min(0.2 n, 3 sqrt(n / Reff))
+    assert _tail_len(n_total, Reff) > _tail_len(n_total, 1.0)
+    # and the tail fits actually change
+    assert not np.allclose(ks1, ks2)
+    # expected direction for these light-tailed LOO weights: the enlarged
+    # tail reaches into the (faster-decaying) body, flattening the fitted
+    # GPD shape — khat drops on average.  (Heavy-tailed weights shift the
+    # other way; see test_psislw_reff_matches_reference's oracle.)
+    assert np.mean(ks2 - ks1) < 0
+    # LOO values are finite and in the same ballpark under both tails
+    assert np.isfinite(loo1) and np.isfinite(loo2)
+    assert abs(loo1 - loo2) < 0.5

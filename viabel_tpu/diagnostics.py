@@ -128,7 +128,9 @@ def effective_sample_size(chains):
     ``psislw(lw, Reff)`` takes the relative efficiency ``N_eff / N`` of the
     draws (reference: notebooks/psis.py:112-155, via `psisloo`'s MCMC
     use case).  ``Reff = effective_sample_size(chains) / (n_chains *
-    n_iters)`` closes that loop in-repo.
+    n_iters)`` closes that loop in-repo; the full wiring — HMC draws from
+    `viabel_tpu.mcmc` -> ESS -> ``psisloo(log_lik, Reff=...)`` — is
+    exercised in tests/test_psis.py::test_ess_reff_closes_the_psis_loop.
     """
     chains = np.asarray(chains, dtype=float)
     if chains.ndim == 2:

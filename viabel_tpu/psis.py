@@ -221,6 +221,14 @@ def psisloo(log_lik, **kwargs):
     ----------
     log_lik : array, shape (n, m)
         n posterior draws of the m pointwise log-likelihood terms.
+    Reff : float, optional keyword
+        Relative efficiency ``N_eff / N`` of the posterior draws.  For MCMC
+        draws compute it in-repo as ``Reff =
+        diagnostics.effective_sample_size(chains).min() / (n_chains *
+        n_iters)`` — smaller Reff enlarges the smoothed tail
+        ``min(0.2 n, 3 sqrt(n / Reff))`` to compensate for autocorrelation
+        (reference: notebooks/psis.py:112-155; exercised end to end in
+        tests/test_psis.py::test_ess_reff_closes_the_psis_loop).
 
     Returns
     -------
