@@ -117,6 +117,7 @@ def test_sharded_all_bounds_matches_unsharded(mesh):
                                    err_msg=k_)
 
 
+@pytest.mark.slow
 def test_sharded_psislw_matches_unsharded(mesh):
     lw = 1.5 * jax.random.normal(jax.random.PRNGKey(3), (80000,),
                                  dtype=jnp.float64)
