@@ -1,0 +1,169 @@
+"""Seed-noise quantification for the parity statistics (VERDICT r2 item 2).
+
+Every khat / bound value in benchmarks/RESULTS.md is a Monte Carlo estimate
+of a stochastic optimizer's solution quality — comparing a single run to
+the reference's single notebook value needs an acceptance band.  This
+script produces it: for each headline workload configuration it runs S
+complete validated pipelines (identical init, S different PRNG keys) in
+ONE fused multistart dispatch (`validated_vi_multistart` with explicit
+replicated `init_params` — the start axis is the seed axis) and records
+the khat / d2 distributions.
+
+Writes benchmarks/KHAT_NOISE.json; `benchmarks/parity.py` picks it up to
+add the noise column to RESULTS.md.  Run on the TPU (default backend):
+16 pipelines per config fit in one dispatch.
+
+Usage: python benchmarks/khat_noise.py [--seeds 16] [--quick] [--cpu]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _stats(vals):
+    vals = np.asarray(vals, dtype=float)
+    q25, q50, q75 = np.percentile(vals, [25, 50, 75])
+    return dict(mean=float(vals.mean()), sd=float(vals.std(ddof=1)),
+                q25=float(q25), median=float(q50), q75=float(q75),
+                min=float(vals.min()), max=float(vals.max()),
+                values=[float(v) for v in vals])
+
+
+def run_config(name, model, fam, obj, init, n_iters, n_bound, seeds, ref,
+               has_log_norm=None, **opt_kw):
+    from viabel_tpu import validated_vi_multistart
+    t0 = time.perf_counter()
+    init = jnp.asarray(init)
+    init_params = jnp.tile(init[None, :], (seeds, 1))
+    out = validated_vi_multistart(
+        model.log_prob, fam, init, n_iters, init_params=init_params,
+        objective_and_grad=obj, n_bound_samples=n_bound,
+        key=jax.random.PRNGKey(20260819), has_log_norm=has_log_norm,
+        **opt_kw)
+    res = dict(reference=ref, n_iters=n_iters, n_bound=n_bound,
+               seeds=seeds, khat=_stats(out['khat']),
+               d2=_stats([b['d2'] for b in out['bounds']]),
+               W2=_stats([b['W2'] for b in out['bounds']]),
+               mean_error=_stats([b['mean_error'] for b in out['bounds']]),
+               wall_s=time.perf_counter() - t0)
+    k = res['khat']
+    z = (ref - k['mean']) / k['sd'] if k['sd'] > 0 else float('inf')
+    print('{:>16}: khat = {:.3f} +- {:.3f}  [{:.3f}, {:.3f}]  '
+          'ref {:.3f} (z = {:+.1f})  ({:.1f}s)'.format(
+              name, k['mean'], k['sd'], k['min'], k['max'], ref, z,
+              res['wall_s']), flush=True)
+    res['khat_ref_z'] = z
+    return res
+
+
+def main(seeds=16, quick=False, cpu=False):
+    if cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    import warnings
+
+    from viabel_tpu import (black_box_chivi, black_box_klvi,
+                            init_from_moments, adagrad_optimize,
+                            mean_field_t_variational_family,
+                            t_variational_family)
+    from viabel_tpu.bounds import MonteCarloErrorWarning
+    from viabel_tpu.models import (eight_schools_cp_model,
+                                   eight_schools_ncp_model,
+                                   funnel_model, robust_regression_model)
+    warnings.simplefilter('ignore', MonteCarloErrorWarning)
+
+    scale = 0.1 if quick else 1.0
+    it = lambda n: max(int(n * scale), 200)
+    n_bound = 100000 if quick else 1000000
+    results = {}
+    print('devices: {}; seeds per config: {}'.format(jax.devices(), seeds))
+
+    # --- robust regression (protocol: examples/robust_regression.py) ---
+    rr = robust_regression_model()
+    fam = mean_field_t_variational_family(2, 40)
+    klvi = black_box_klvi(fam, rr.log_prob, 100, presampled=True)
+    init = jnp.asarray(np.concatenate([np.zeros(2), np.ones(2)]),
+                       dtype=jnp.result_type(float))
+    results['rr_klvi'] = run_config(
+        'rr_klvi', rr, fam, klvi, init, it(5000), n_bound, seeds, 0.92,
+        learning_rate=.01)
+    # CHIVI warm-starts from the seed-0 KLVI fit (+3 on the log-scales),
+    # exactly the example's protocol; seeds vary the CHIVI keys
+    klvi_param, _, _, _ = adagrad_optimize(
+        it(5000), klvi, init,
+        key=jax.random.split(jax.random.PRNGKey(0), 6)[0],
+        learning_rate=.01)
+    chivi = black_box_chivi(2, fam, rr.log_prob, 500, presampled=True)
+    warm = jnp.asarray(np.asarray(klvi_param)).at[2:].add(3.0)
+    results['rr_chivi'] = run_config(
+        'rr_chivi', rr, fam, chivi, warm, it(5000), n_bound, seeds, 0.341,
+        learning_rate=.01)
+    tfam = t_variational_family(2, 100)
+    full_klvi = black_box_klvi(tfam, rr.log_prob, 100, presampled=True)
+    results['rr_full_klvi'] = run_config(
+        'rr_full_klvi', rr, tfam, full_klvi, tfam.init_param(), it(5000),
+        n_bound, seeds, -0.93, learning_rate=.1, learning_rate_end=.001)
+
+    # --- funnel (protocol: examples/funnel.py -> run_experiment:
+    #     has_log_norm=False matches the reference harness) ---
+    fu = funnel_model()
+    fam_f = mean_field_t_variational_family(2, 40)
+    fu_init = jnp.asarray(np.concatenate([[0.0, -1.0], np.ones(2)]),
+                          dtype=jnp.result_type(float))
+    results['funnel_klvi'] = run_config(
+        'funnel_klvi', fu, fam_f,
+        black_box_klvi(fam_f, fu.log_prob, 100, presampled=True),
+        fu_init, it(10000), n_bound, seeds, 0.768,
+        learning_rate=.01, learning_rate_end=.001)
+    results['funnel_chivi'] = run_config(
+        'funnel_chivi', fu, fam_f,
+        black_box_chivi(2, fam_f, fu.log_prob, 500, presampled=True),
+        fu_init, it(10000), n_bound, seeds, 0.894, has_log_norm=False,
+        learning_rate=.01, learning_rate_end=.001)
+
+    # --- eight schools (protocol: examples/eight_schools.py) ---
+    for tag, model, n_it, refs in (
+            ('es_cp', eight_schools_cp_model(), it(10000), (0.906, 0.875)),
+            ('es_ncp', eight_schools_ncp_model(), it(5000),
+             (0.649, 0.552))):
+        fam10 = mean_field_t_variational_family(10, 40)
+        es_init = init_from_moments(
+            fam10, model.true_mean,
+            model.true_cov).astype(jnp.result_type(float))
+        results[tag + '_klvi'] = run_config(
+            tag + '_klvi', model, fam10,
+            black_box_klvi(fam10, model.log_prob, 100, presampled=True),
+            es_init, n_it, n_bound, seeds, refs[0],
+            learning_rate=.01, learning_rate_end=.001)
+        results[tag + '_chivi'] = run_config(
+            tag + '_chivi', model, fam10,
+            black_box_chivi(2, fam10, model.log_prob, 500,
+                            presampled=True),
+            es_init, n_it, n_bound, seeds, refs[1], has_log_norm=False,
+            learning_rate=.01, learning_rate_end=.001)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'KHAT_NOISE.json')
+    meta = dict(seeds=seeds, quick=quick,
+                backend=str(jax.devices()[0].platform),
+                dtype=str(jnp.result_type(float)))
+    with open(out_path, 'w') as f:
+        json.dump(dict(meta=meta, configs=results), f, indent=1)
+    print('wrote', out_path)
+    return results
+
+
+if __name__ == '__main__':
+    p = argparse.ArgumentParser()
+    p.add_argument('--seeds', type=int, default=16)
+    p.add_argument('--quick', action='store_true')
+    p.add_argument('--cpu', action='store_true')
+    a = p.parse_args()
+    main(a.seeds, a.quick, a.cpu)

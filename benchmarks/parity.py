@@ -31,6 +31,33 @@ def fmt(x, nd=3):
     return ('{:.' + str(nd) + 'g}').format(float(x))
 
 
+def _load_noise():
+    """Seed-noise acceptance bands recorded by benchmarks/khat_noise.py
+    (16 complete pipelines per config, fused multistart over the seed
+    axis).  Returns {} when the study has not been run."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'KHAT_NOISE.json')
+    if not os.path.exists(path):
+        return {}
+    import json
+    with open(path) as f:
+        return json.load(f)
+
+
+def _noise_col(noise, key, stat='khat'):
+    """'mean +- sd (z)' acceptance band for a RESULTS.md row, where z is
+    the reference value's distance from the seed distribution in sds."""
+    cfg = noise.get('configs', {}).get(key)
+    if cfg is None:
+        return '—'
+    s = cfg[stat]
+    ref = cfg['reference'] if stat == 'khat' else None
+    band = '{} ± {}'.format(fmt(s['mean']), fmt(s['sd'], 2))
+    if ref is not None and s['sd'] > 0:
+        band += ' (ref z = {:+.1f})'.format((ref - s['mean']) / s['sd'])
+    return band
+
+
 def main(quick=False, cpu=False):
     if cpu:
         jax.config.update('jax_platforms', 'cpu')
@@ -109,22 +136,82 @@ def main(quick=False, cpu=False):
     ]
 
     total = time.perf_counter() - t_all
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'RESULTS.md')
+    # seed-noise acceptance bands (benchmarks/khat_noise.py), keyed by the
+    # RESULTS.md row name
+    noise = _load_noise()
+    noise_key = {
+        'robust-regression mf-t KLVI khat': ('rr_klvi', 'khat'),
+        'robust-regression mf-t CHIVI khat': ('rr_chivi', 'khat'),
+        'robust-regression full-rank KLVI khat': ('rr_full_klvi', 'khat'),
+        'robust-regression full-rank KLVI W2': ('rr_full_klvi', 'W2'),
+        'robust-regression full-rank KLVI d2': ('rr_full_klvi', 'd2'),
+        'robust-regression full-rank KLVI mean_error':
+            ('rr_full_klvi', 'mean_error'),
+        'funnel KLVI khat': ('funnel_klvi', 'khat'),
+        'funnel CHIVI khat': ('funnel_chivi', 'khat'),
+        'eight-schools CP KLVI khat': ('es_cp_klvi', 'khat'),
+        'eight-schools CP CHIVI khat': ('es_cp_chivi', 'khat'),
+        'eight-schools NCP KLVI khat': ('es_ncp_klvi', 'khat'),
+        'eight-schools NCP CHIVI khat': ('es_ncp_chivi', 'khat'),
+    }
+
+    # persist this backend's column, then regenerate RESULTS.md from every
+    # recorded backend (CPU/x64 parity run + TPU/f32 production run — the
+    # dtype/hardware users actually run; SURVEY.md section 7)
+    import json
+
+    import jax.numpy as jnp
+    here = os.path.dirname(os.path.abspath(__file__))
+    backend = jax.devices()[0].platform
+    col = 'tpu-f32' if backend != 'cpu' else 'cpu-{}'.format(
+        'f64' if jnp.result_type(float) == jnp.float64 else 'f32')
+    with open(os.path.join(here, 'RESULTS_{}.json'.format(col)), 'w') as f:
+        json.dump(dict(column=col, devices=str(jax.devices()),
+                       mode='quick' if quick else 'full',
+                       wall_s=total, rows=rows), f, indent=1)
+
+    recorded = []
+    for fn in sorted(os.listdir(here)):
+        if fn.startswith('RESULTS_') and fn.endswith('.json'):
+            with open(os.path.join(here, fn)) as f:
+                recorded.append(json.load(f))
+
+    out_path = os.path.join(here, 'RESULTS.md')
     with open(out_path, 'w') as f:
         f.write('# Parity results\n\n')
-        f.write('Hardware: `{}`.  Mode: {}.  Total wall-clock: {:.0f}s '
-                '(includes XLA compilation).\n\n'.format(
-                    jax.devices(), 'quick' if quick else 'full', total))
-        f.write('Reference values are the notebook outputs recorded in '
+        for rec in recorded:
+            f.write('Column `{}`: {} mode on `{}`, {:.0f}s wall-clock '
+                    '(includes XLA compilation).\n'.format(
+                        rec['column'], rec['mode'], rec['devices'],
+                        rec['wall_s']))
+        f.write('\nReference values are the notebook outputs recorded in '
                 'BASELINE.md (author laptop CPU).  khat and bound values '
                 'are Monte Carlo estimates of solution quality; agreement '
                 'within MC/optimization noise indicates the optimizers '
                 'converge to the same variational solutions as the '
                 'reference.\n\n')
-        f.write('| Metric | viabel_tpu | reference |\n|---|---|---|\n')
+        if noise:
+            f.write('The seed-noise column is the 16-seed distribution '
+                    'from `benchmarks/khat_noise.py` ({} backend, {}): '
+                    'mean ± sd over complete re-runs of the pipeline with '
+                    'fresh PRNG keys, and the reference value\'s z-score '
+                    'within that distribution.  |z| <~ 2 means the '
+                    'reference\'s single notebook value is within seed '
+                    'noise of ours; larger |z| indicates a systematic '
+                    'difference (analyzed in KHAT_NOISE.md).\n\n'.format(
+                        noise['meta']['backend'], noise['meta']['dtype']))
+        cols = [rec['column'] for rec in recorded]
+        f.write('| Metric | ' + ' | '.join(cols)
+                + ' | reference | seed noise (16 runs) |\n')
+        f.write('|---' * (len(cols) + 3) + '|\n')
+        by_col = {rec['column']: {r[0]: r[1] for r in rec['rows']}
+                  for rec in recorded}
         for name, ours, ref in rows:
-            f.write('| {} | {} | {} |\n'.format(name, ours, ref))
+            vals = [by_col[c].get(name, '—') for c in cols]
+            band = (_noise_col(noise, *noise_key[name])
+                    if noise and name in noise_key else '—')
+            f.write('| {} | {} | {} | {} |\n'.format(
+                name, ' | '.join(vals), ref, band))
     print('\nwrote {}'.format(out_path))
     for name, ours, ref in rows:
         print('  {:55s} ours={:>9} ref={:>9}'.format(name, ours, ref))
