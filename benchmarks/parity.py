@@ -58,6 +58,83 @@ def _noise_col(noise, key, stat='khat'):
     return band
 
 
+def _render(here, noise, rows=None):
+    """Regenerate RESULTS.md from every recorded RESULTS_*.json backend
+    column plus the seed-noise bands.  `rows` (name, ours, ref) fixes the
+    row order; when rendering without a fresh run, the first recorded
+    column's rows are used."""
+    import json
+    recorded = []
+    for fn in sorted(os.listdir(here)):
+        if fn.startswith('RESULTS_') and fn.endswith('.json'):
+            with open(os.path.join(here, fn)) as f:
+                recorded.append(json.load(f))
+    if not recorded:
+        raise SystemExit('no RESULTS_*.json recorded yet — run a backend '
+                         'first (parity.py / parity.py --cpu)')
+    if rows is None:
+        rows = recorded[0]['rows']
+
+    out_path = os.path.join(here, 'RESULTS.md')
+    with open(out_path, 'w') as f:
+        f.write('# Parity results\n\n')
+        for rec in recorded:
+            f.write('Column `{}`: {} mode on `{}`, {:.0f}s wall-clock '
+                    '(includes XLA compilation).\n'.format(
+                        rec['column'], rec['mode'], rec['devices'],
+                        rec['wall_s']))
+        f.write('\nReference values are the notebook outputs recorded in '
+                'BASELINE.md (author laptop CPU).  khat and bound values '
+                'are Monte Carlo estimates of solution quality; agreement '
+                'within MC/optimization noise indicates the optimizers '
+                'converge to the same variational solutions as the '
+                'reference.\n\n')
+        if noise:
+            f.write('The seed-noise column is the {}-seed distribution '
+                    'from `benchmarks/khat_noise.py` ({} backend, {}): '
+                    'mean ± sd over complete re-runs of the pipeline with '
+                    'fresh PRNG keys, and the reference value\'s z-score '
+                    'within that distribution.  |z| <~ 2 means the '
+                    'reference\'s single notebook value is within seed '
+                    'noise of ours; larger |z| indicates a systematic '
+                    'difference (analyzed in KHAT_NOISE.md).\n\n'.format(
+                        noise['meta']['seeds'], noise['meta']['backend'],
+                        noise['meta']['dtype']))
+        cols = [rec['column'] for rec in recorded]
+        f.write('| Metric | ' + ' | '.join(cols)
+                + ' | reference | seed noise (16 runs) |\n')
+        f.write('|---' * (len(cols) + 3) + '|\n')
+        by_col = {rec['column']: {r[0]: r[1] for r in rec['rows']}
+                  for rec in recorded}
+        for name, ours, ref in rows:
+            vals = [by_col[c].get(name, '—') for c in cols]
+            band = (_noise_col(noise, *NOISE_KEY[name])
+                    if noise and name in NOISE_KEY else '—')
+            f.write('| {} | {} | {} | {} |\n'.format(
+                name, ' | '.join(vals), ref, band))
+    print('\nwrote {}'.format(out_path))
+    return rows
+
+
+# seed-noise acceptance bands (benchmarks/khat_noise.py), keyed by the
+# RESULTS.md row name
+NOISE_KEY = {
+    'robust-regression mf-t KLVI khat': ('rr_klvi', 'khat'),
+    'robust-regression mf-t CHIVI khat': ('rr_chivi', 'khat'),
+    'robust-regression full-rank KLVI khat': ('rr_full_klvi', 'khat'),
+    'robust-regression full-rank KLVI W2': ('rr_full_klvi', 'W2'),
+    'robust-regression full-rank KLVI d2': ('rr_full_klvi', 'd2'),
+    'robust-regression full-rank KLVI mean_error':
+        ('rr_full_klvi', 'mean_error'),
+    'funnel KLVI khat': ('funnel_klvi', 'khat'),
+    'funnel CHIVI khat': ('funnel_chivi', 'khat'),
+    'eight-schools CP KLVI khat': ('es_cp_klvi', 'khat'),
+    'eight-schools CP CHIVI khat': ('es_cp_chivi', 'khat'),
+    'eight-schools NCP KLVI khat': ('es_ncp_klvi', 'khat'),
+    'eight-schools NCP CHIVI khat': ('es_ncp_chivi', 'khat'),
+}
+
+
 def main(quick=False, cpu=False):
     if cpu:
         jax.config.update('jax_platforms', 'cpu')
@@ -136,24 +213,6 @@ def main(quick=False, cpu=False):
     ]
 
     total = time.perf_counter() - t_all
-    # seed-noise acceptance bands (benchmarks/khat_noise.py), keyed by the
-    # RESULTS.md row name
-    noise = _load_noise()
-    noise_key = {
-        'robust-regression mf-t KLVI khat': ('rr_klvi', 'khat'),
-        'robust-regression mf-t CHIVI khat': ('rr_chivi', 'khat'),
-        'robust-regression full-rank KLVI khat': ('rr_full_klvi', 'khat'),
-        'robust-regression full-rank KLVI W2': ('rr_full_klvi', 'W2'),
-        'robust-regression full-rank KLVI d2': ('rr_full_klvi', 'd2'),
-        'robust-regression full-rank KLVI mean_error':
-            ('rr_full_klvi', 'mean_error'),
-        'funnel KLVI khat': ('funnel_klvi', 'khat'),
-        'funnel CHIVI khat': ('funnel_chivi', 'khat'),
-        'eight-schools CP KLVI khat': ('es_cp_klvi', 'khat'),
-        'eight-schools CP CHIVI khat': ('es_cp_chivi', 'khat'),
-        'eight-schools NCP KLVI khat': ('es_ncp_klvi', 'khat'),
-        'eight-schools NCP CHIVI khat': ('es_ncp_chivi', 'khat'),
-    }
 
     # persist this backend's column, then regenerate RESULTS.md from every
     # recorded backend (CPU/x64 parity run + TPU/f32 production run — the
@@ -170,49 +229,7 @@ def main(quick=False, cpu=False):
                        mode='quick' if quick else 'full',
                        wall_s=total, rows=rows), f, indent=1)
 
-    recorded = []
-    for fn in sorted(os.listdir(here)):
-        if fn.startswith('RESULTS_') and fn.endswith('.json'):
-            with open(os.path.join(here, fn)) as f:
-                recorded.append(json.load(f))
-
-    out_path = os.path.join(here, 'RESULTS.md')
-    with open(out_path, 'w') as f:
-        f.write('# Parity results\n\n')
-        for rec in recorded:
-            f.write('Column `{}`: {} mode on `{}`, {:.0f}s wall-clock '
-                    '(includes XLA compilation).\n'.format(
-                        rec['column'], rec['mode'], rec['devices'],
-                        rec['wall_s']))
-        f.write('\nReference values are the notebook outputs recorded in '
-                'BASELINE.md (author laptop CPU).  khat and bound values '
-                'are Monte Carlo estimates of solution quality; agreement '
-                'within MC/optimization noise indicates the optimizers '
-                'converge to the same variational solutions as the '
-                'reference.\n\n')
-        if noise:
-            f.write('The seed-noise column is the 16-seed distribution '
-                    'from `benchmarks/khat_noise.py` ({} backend, {}): '
-                    'mean ± sd over complete re-runs of the pipeline with '
-                    'fresh PRNG keys, and the reference value\'s z-score '
-                    'within that distribution.  |z| <~ 2 means the '
-                    'reference\'s single notebook value is within seed '
-                    'noise of ours; larger |z| indicates a systematic '
-                    'difference (analyzed in KHAT_NOISE.md).\n\n'.format(
-                        noise['meta']['backend'], noise['meta']['dtype']))
-        cols = [rec['column'] for rec in recorded]
-        f.write('| Metric | ' + ' | '.join(cols)
-                + ' | reference | seed noise (16 runs) |\n')
-        f.write('|---' * (len(cols) + 3) + '|\n')
-        by_col = {rec['column']: {r[0]: r[1] for r in rec['rows']}
-                  for rec in recorded}
-        for name, ours, ref in rows:
-            vals = [by_col[c].get(name, '—') for c in cols]
-            band = (_noise_col(noise, *noise_key[name])
-                    if noise and name in noise_key else '—')
-            f.write('| {} | {} | {} | {} |\n'.format(
-                name, ' | '.join(vals), ref, band))
-    print('\nwrote {}'.format(out_path))
+    _render(here, _load_noise(), rows)
     for name, ours, ref in rows:
         print('  {:55s} ours={:>9} ref={:>9}'.format(name, ours, ref))
 
@@ -221,5 +238,13 @@ if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--quick', action='store_true')
     p.add_argument('--cpu', action='store_true')
+    p.add_argument('--render-only', action='store_true',
+                   help='regenerate RESULTS.md from the recorded '
+                        'RESULTS_*.json columns + KHAT_NOISE.json without '
+                        're-running any workload')
     a = p.parse_args()
-    main(a.quick, a.cpu)
+    if a.render_only:
+        here = os.path.dirname(os.path.abspath(__file__))
+        _render(here, _load_noise())
+    else:
+        main(a.quick, a.cpu)

@@ -118,7 +118,9 @@ def central_moments(samples):
     C2 = jnp.mean(norm2)
     C4 = jnp.mean(norm2 ** 2)
     n = x.shape[0]
-    cov = (c.T @ c) / (n - 1)
+    # f32-pinned: TPU default matmul precision measurably shifts
+    # converged statistics (families._mm); free at d <= ~30
+    cov = jnp.matmul(c.T, c, precision=jax.lax.Precision.HIGHEST) / (n - 1)
     return dict(C2=C2, C4=C4, cov=cov)
 
 

@@ -144,8 +144,13 @@ def diag_student_t_logpdf(x, df, mean, log_scale):
 def _chol_mahalanobis_and_logdet(x, mean, chol):
     """Return (||L^{-1}(x-mean)||^2, log det Sigma) for Sigma = L L^T."""
     dev = x - mean
-    # Solve L z = dev^T  ->  z = L^{-1} dev^T; batched over samples.
-    z = jax.scipy.linalg.solve_triangular(chol, dev.T, lower=True)
+    # Solve L z = dev^T  ->  z = L^{-1} dev^T; batched over samples.  The
+    # solve lowers to blocked matmuls on TPU, which default to
+    # reduced-precision MXU passes; pin them to f32 — this log-density is
+    # differentiated by CHIVI, and at d <= ~30 full precision is free
+    # (same defect class as families._mm, benchmarks/KHAT_NOISE.md).
+    with jax.default_matmul_precision('highest'):
+        z = jax.scipy.linalg.solve_triangular(chol, dev.T, lower=True)
     maha = jnp.sum(z * z, axis=0)
     log_det = 2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
     return maha, log_det
@@ -188,7 +193,8 @@ def multivariate_t_logpdf(x, m, S, df=jnp.inf):
     U = u * jnp.sqrt(s_pinv)
     log_pdet = jnp.sum(jnp.log(jnp.where(jnp.abs(s) <= eps, 1.0, s)))
     dev = x - m
-    maha = jnp.sum(jnp.square(dev @ U), axis=-1)
+    maha = jnp.sum(jnp.square(
+        jnp.matmul(dev, U, precision=jax.lax.Precision.HIGHEST)), axis=-1)
     if df == jnp.inf or df is None:
         return -0.5 * (maha + log_pdet + d * _LOG_2PI)
     log_pdf = (gammaln(0.5 * (df + d)) - gammaln(0.5 * df)

@@ -43,6 +43,19 @@ __all__ = [
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
+def _mm(a, b):
+    """f32-accurate matmul for the full-rank families' tiny products.
+
+    TPU matmuls default to reduced-precision MXU passes; these (n, d) @
+    (d, d) products set the sample geometry the optimizer differentiates
+    through, and at d <= ~30 full precision costs nothing.  Measured on the
+    robust-regression full-rank t(100) protocol: default precision shifts
+    the converged optimum from d2 = 6.0e-4 to 3.1e-3 (khat -0.94 -> -0.04);
+    HIGHEST restores CPU-parity statistics (benchmarks/KHAT_NOISE.md).
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 class VariationalFamily(NamedTuple):
     """Bundle of pure functions defining a variational family.
 
@@ -218,7 +231,7 @@ def full_rank_gaussian_variational_family(dim):
 
     def transform(var_param, z):
         mu, L = _unpack_chol(var_param, dim)
-        return mu + z @ L.T
+        return mu + _mm(z, L.T)
 
     def sample(key, var_param, n_samples):
         return transform(var_param,
@@ -234,7 +247,7 @@ def full_rank_gaussian_variational_family(dim):
 
     def mean_and_cov(var_param):
         mu, L = _unpack_chol(var_param, dim)
-        return mu, L @ L.T
+        return mu, _mm(L, L.T)
 
     def pth_moment(var_param, p):
         if p not in (2, 4):
@@ -243,7 +256,7 @@ def full_rank_gaussian_variational_family(dim):
         tr_sigma = jnp.sum(L ** 2)
         if p == 2:
             return tr_sigma
-        tr_sigma2 = jnp.sum((L.T @ L) ** 2)  # tr(Sigma^2) = ||L^T L||_F^2
+        tr_sigma2 = jnp.sum(_mm(L.T, L) ** 2)  # tr(Sigma^2) = ||L^T L||_F^2
         return 2 * tr_sigma2 + tr_sigma ** 2
 
     return VariationalFamily(sample, entropy, log_prob, mean_and_cov,
@@ -274,7 +287,7 @@ def t_variational_family(dim, df):
     def transform(var_param, draws):
         mu, L = _unpack_chol(var_param, dim)
         s = jnp.sqrt(draws['chi2'] / df)
-        return mu + (draws['z'] @ L.T) / s[:, None]
+        return mu + _mm(draws['z'], L.T) / s[:, None]
 
     def sample(key, var_param, n_samples):
         return transform(var_param,
@@ -290,7 +303,7 @@ def t_variational_family(dim, df):
 
     def mean_and_cov(var_param):
         mu, L = _unpack_chol(var_param, dim)
-        return mu, df / (df - 2.0) * (L @ L.T)
+        return mu, df / (df - 2.0) * _mm(L, L.T)
 
     def pth_moment(var_param, p):
         if p not in (2, 4):
@@ -309,7 +322,7 @@ def t_variational_family(dim, df):
         # which drops the shared-mixing cross terms and UNDERestimates the
         # 4th moment — making the downstream W2/moment "bounds" not actual
         # upper bounds.  Fixed here, not replicated; see PARITY.md.
-        tr_sigma2 = jnp.sum((L.T @ L) ** 2)
+        tr_sigma2 = jnp.sum(_mm(L.T, L) ** 2)
         return df ** 2 / ((df - 2) * (df - 4)) * (
             2 * tr_sigma2 + tr_sigma ** 2)
 

@@ -12,6 +12,7 @@
   the notebooks import from a sibling branch of the fork (absent from the
   reference repo; SURVEY.md section 2.3).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -65,7 +66,9 @@ def robust_regression_model(x=None, y=None, df=40.0, prior_std=10.0,
 
     def log_prob(beta):
         beta2 = jnp.atleast_2d(beta)                   # (n, D)
-        mu = beta2 @ x.T                               # (n, N)
+        # f32-pinned: the likelihood the optimizer differentiates
+        mu = jnp.matmul(beta2, x.T,
+                        precision=jax.lax.Precision.HIGHEST)  # (n, N)
         loglik = jnp.sum(student_t_logpdf(y[None, :], df, mu, noise_scale),
                          axis=-1)
         logprior = jnp.sum(normal_logpdf(beta2, 0.0, prior_std), axis=-1)
@@ -96,7 +99,8 @@ def linear_regression_model(x, y, noise_scale=0.5, prior_std=10.0):
 
     def log_prob(beta):
         beta2 = jnp.atleast_2d(beta)
-        mu = beta2 @ xj.T
+        mu = jnp.matmul(beta2, xj.T,
+                        precision=jax.lax.Precision.HIGHEST)
         loglik = jnp.sum(normal_logpdf(yj[None, :], mu, noise_scale), axis=-1)
         logprior = jnp.sum(normal_logpdf(beta2, 0.0, prior_std), axis=-1)
         out = loglik + logprior

@@ -62,7 +62,8 @@ def _central_moments_from_locals(samples_local, n_total, axis):
     return dict(
         C2=jax.lax.psum(jnp.sum(norm2), axis) / nf,
         C4=jax.lax.psum(jnp.sum(norm2 ** 2), axis) / nf,
-        cov=jax.lax.psum(c.T @ c, axis) / (nf - 1),
+        cov=jax.lax.psum(jnp.matmul(c.T, c,
+            precision=jax.lax.Precision.HIGHEST), axis) / (nf - 1),
     )
 
 

@@ -179,7 +179,8 @@ def _psis_moments_local(x_local, slw_local, axis):
     w = w / wsum
     mean = jax.lax.psum(jnp.sum(w[:, None] * x_local, axis=0), axis)
     c = x_local - mean
-    cov = jax.lax.psum((w[:, None] * c).T @ c, axis)
+    cov = jax.lax.psum(jnp.matmul((w[:, None] * c).T, c,
+        precision=jax.lax.Precision.HIGHEST), axis)
     return mean, cov
 
 

@@ -56,9 +56,12 @@ def weighted_moments(samples, slw):
     """
     w = jnp.exp(slw - jnp.max(slw))
     w = w / jnp.sum(w)
-    mean = w @ samples
+    # f32-pinned matmuls: see families._mm (TPU default precision
+    # shifts statistics); negligible cost at d <= ~30
+    hi = jax.lax.Precision.HIGHEST
+    mean = jnp.matmul(w, samples, precision=hi)
     c = samples - mean[None, :]
-    return mean, (w[:, None] * c).T @ c
+    return mean, jnp.matmul((w[:, None] * c).T, c, precision=hi)
 
 _PRIOR_B = 3.0   # scale prior on b (reference: notebooks/psis.py:261 PRIOR)
 _PRIOR_K_A = 10.0  # weakly informative prior on k (notebooks/psis.py:320-323)
