@@ -135,9 +135,11 @@ NOISE_KEY = {
 }
 
 
-def main(quick=False, cpu=False):
+def main(quick=False, cpu=False, x64=False):
     if cpu:
         jax.config.update('jax_platforms', 'cpu')
+    if x64:
+        jax.config.update('jax_enable_x64', True)
     import examples.robust_regression as rr
     import examples.funnel as fu
     import examples.eight_schools as es
@@ -238,6 +240,9 @@ if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--quick', action='store_true')
     p.add_argument('--cpu', action='store_true')
+    p.add_argument('--x64', action='store_true',
+                   help='enable float64 (the CPU high-precision anchor '
+                        'column; pair with --cpu)')
     p.add_argument('--render-only', action='store_true',
                    help='regenerate RESULTS.md from the recorded '
                         'RESULTS_*.json columns + KHAT_NOISE.json without '
@@ -247,4 +252,4 @@ if __name__ == '__main__':
         here = os.path.dirname(os.path.abspath(__file__))
         _render(here, _load_noise())
     else:
-        main(a.quick, a.cpu)
+        main(a.quick, a.cpu, a.x64)

@@ -144,13 +144,19 @@ def diag_student_t_logpdf(x, df, mean, log_scale):
 def _chol_mahalanobis_and_logdet(x, mean, chol):
     """Return (||L^{-1}(x-mean)||^2, log det Sigma) for Sigma = L L^T."""
     dev = x - mean
-    # Solve L z = dev^T  ->  z = L^{-1} dev^T; batched over samples.  The
-    # solve lowers to blocked matmuls on TPU, which default to
-    # reduced-precision MXU passes; pin them to f32 — this log-density is
-    # differentiated by CHIVI, and at d <= ~30 full precision is free
-    # (same defect class as families._mm, benchmarks/KHAT_NOISE.md).
-    with jax.default_matmul_precision('highest'):
-        z = jax.scipy.linalg.solve_triangular(chol, dev.T, lower=True)
+    # z = L^{-1} dev^T, batched over samples — computed as an explicit
+    # (d, d) triangular inverse followed by one (d, n) matmul instead of a
+    # TriangularSolve over n columns.  Two TPU reasons: (1) TriangularSolve
+    # is a single XLA primitive whose internal blocked matmuls ignore JAX
+    # precision controls, while the matmul here is pinned to full f32 (this
+    # log-density is differentiated by CHIVI and sets the PSIS log-weights;
+    # same defect class as families._mm); (2) the solve serializes over the
+    # sample axis on TPU whereas the matmul rides the MXU.  The tiny d x d
+    # inverse itself stays a forward substitution; fine for the
+    # well-conditioned Cholesky factors variational fits produce.
+    eye = jnp.eye(chol.shape[-1], dtype=chol.dtype)
+    inv_chol = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+    z = jnp.matmul(inv_chol, dev.T, precision=jax.lax.Precision.HIGHEST)
     maha = jnp.sum(z * z, axis=0)
     log_det = 2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
     return maha, log_det
