@@ -23,6 +23,12 @@ numbers split into three tiers (benchmarks/SCALING.md interprets them):
 Usage:
   python benchmarks/scaling.py [--n 2500000] [--devices 8] [--reps 3]
                                [--two-process] [--json PATH]
+  python benchmarks/scaling.py --tpu-anchor [--n 2500000] [--json PATH]
+
+`--tpu-anchor` records tier 4: the same fused pass timed on the real TPU
+chip (1-device mesh, mean-field t AND full-rank t families) — the absolute
+per-chip anchor the tier-3 efficiency prediction multiplies.  It merges
+into an existing --json file so one JSON carries all four tiers.
 """
 import argparse
 import json
@@ -35,15 +41,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _bound_pass_timer(model, fam, vp, mesh, n, key, reps):
-    """Best-of-reps wall-clock of the fused sharded bound+PSIS pass."""
+    """Best-of-reps wall-clock of the fused sharded bound+PSIS pass.
+
+    Follows the production conventions: closed-form moments come from ONE
+    cached program + one transfer (`family_moment_bounds`, CLAUDE.md's
+    single-fetch rule) and samples are not materialized (the moment bounds
+    make them unnecessary) — the timed op is exactly `validated_vi`'s
+    sharded bound stage."""
     import jax
+    from viabel_tpu.bounds import family_moment_bounds
     from viabel_tpu.parallel import psislw_sharded, sharded_all_bounds
 
     def one_pass(k):
-        res, lw, _ = sharded_all_bounds(
+        res, lw = sharded_all_bounds(
             model.log_prob, fam, vp, n, k, mesh,
-            moment_bound_fn=lambda p: float(fam.pth_moment(vp, p)),
-            return_log_weights=True, return_samples=True)
+            moment_bound_fn=family_moment_bounds(fam, vp),
+            return_log_weights=True)
         slw, _ = psislw_sharded(lw, mesh)
         jax.block_until_ready(slw)
 
@@ -77,14 +90,65 @@ def _collective_accounting(n, d, n_dev, tail_len):
                 predicted_collective_fraction=t_coll / (t_local + t_coll))
 
 
+def _tpu_anchor(args):
+    """Tier 4: the fused sharded bound+PSIS pass on the real chip (1-device
+    mesh) — the absolute samples/s anchor for the tier-3 projection.  Runs
+    the mean-field t family (the bench.py headline config) and the
+    full-rank t (exercising the pinned-matmul Mahalanobis path)."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+    from viabel_tpu import (mean_field_t_variational_family,
+                            t_variational_family)
+    from viabel_tpu.bounds import MonteCarloErrorWarning
+    from viabel_tpu.models import eight_schools_cp_model
+    from viabel_tpu.parallel import make_mesh
+    warnings.simplefilter('ignore', MonteCarloErrorWarning)
+
+    model = eight_schools_cp_model()
+    key = jax.random.PRNGKey(0)
+    n = args.n
+    dev = jax.devices()[0]
+    print('tpu anchor on {}; n = {:.2g}'.format(dev, float(n)))
+    mesh = make_mesh(axis_names=('sample',), shape=(1,),
+                     devices=[dev])
+    tier = dict(device=str(dev), n=n)
+    for tag, fam in (
+            ('mf_t40', mean_field_t_variational_family(model.dim, 40)),
+            ('full_rank_t100', t_variational_family(model.dim, 100))):
+        vp = jnp.zeros(fam.var_param_dim, dtype=jnp.float32)
+        best = _bound_pass_timer(model, fam, vp, mesh, n, key, args.reps)
+        tier[tag] = dict(best_s=best, samples_per_s=n / best)
+        print('  {:15s}: {:.4f}s best-of-{} ({:.3g} samples/s)'.format(
+            tag, best, args.reps, n / best))
+
+    results = {}
+    if args.json and os.path.exists(args.json):
+        with open(args.json) as f:
+            results = json.load(f)
+    results.setdefault('tiers', {})['tpu_anchor'] = tier
+    if args.json:
+        with open(args.json, 'w') as f:
+            json.dump(results, f, indent=1)
+        print('wrote', args.json)
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--devices', type=int, default=8)
     p.add_argument('--n', type=int, default=2500000)
     p.add_argument('--reps', type=int, default=3)
     p.add_argument('--two-process', action='store_true')
+    p.add_argument('--tpu-anchor', action='store_true',
+                   help='record tier 4 on the real chip instead of the '
+                            'virtual-pool tiers')
     p.add_argument('--json', help='write results to this path')
     args = p.parse_args()
+
+    if args.tpu_anchor:
+        return _tpu_anchor(args)
 
     os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                                + ' --xla_force_host_platform_device_count={}'
@@ -177,6 +241,14 @@ def main():
                   best, n / best))
 
     if args.json:
+        # merge into an existing file so one JSON carries all tiers
+        # (e.g. a previously recorded --tpu-anchor tier 4)
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                prior = json.load(f)
+            prior_tiers = prior.get('tiers', {})
+            for k, v in prior_tiers.items():
+                results['tiers'].setdefault(k, v)
         with open(args.json, 'w') as f:
             json.dump(results, f, indent=1)
         print('wrote', args.json)

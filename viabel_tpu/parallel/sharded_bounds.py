@@ -71,8 +71,16 @@ def _central_moments_from_locals(samples_local, n_total, axis):
 def _build_log_weight_stats(mesh, alpha, axis, n_total):
     """Compiled-closure cache: shard_map programs are cached on their
     defining function's identity, so rebuilding the closure per call would
-    recompile per call (see CLAUDE.md's `_pad_objective` convention)."""
+    recompile per call (see CLAUDE.md's `_pad_objective` convention).
 
+    The `jax.jit` wrapper is load-bearing, not cosmetic: an eager
+    (un-jitted) shard_map application re-lowers on every call, and through
+    the remote-compile tunnel each re-lowering costs minutes (measured
+    121 s/call vs sub-ms jitted for the PSIS program at n = 2.5e6;
+    benchmarks/SCALING.md).  `tests/test_parallel.py` asserts every
+    builder returns a jitted program."""
+
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis), out_specs=P())
     def stats(lw_local):
         return _stats_from_locals(lw_local, alpha, n_total, axis)
@@ -96,6 +104,7 @@ def sharded_log_weight_stats(log_weights, mesh, alpha=2.0, axis='sample'):
 
 @lru_cache(maxsize=64)
 def _build_sample_stats(mesh, axis, n):
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P())
     def stats(x_local):
         return _central_moments_from_locals(x_local, n, axis)

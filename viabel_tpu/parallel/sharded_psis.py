@@ -93,7 +93,9 @@ def _smooth_local(lw_local, axis, tail_len, cutoffmin):
 def _build_psislw(mesh, axis, tail_len, cutoffmin, ndim=1):
     """Compiled-closure cache (shard_map programs are keyed on function
     identity; a per-call closure would recompile per call — CLAUDE.md's
-    `_pad_objective` convention).
+    `_pad_objective` convention).  The returned program is `jax.jit`-wrapped:
+    eager shard_map re-lowers per call, which costs ~2 minutes per call
+    through the remote-compile tunnel (measured; benchmarks/SCALING.md).
 
     ``ndim=2`` handles column-stacked log-weight vectors (the `psisloo`
     layout, draws x points): the single-vector body is vmapped over the
@@ -117,7 +119,7 @@ def _build_psislw(mesh, axis, tail_len, cutoffmin, ndim=1):
             return jax.vmap(smooth_one, in_axes=1,
                             out_axes=(1, 0))(lw_local)
 
-    return smooth
+    return jax.jit(smooth)
 
 
 def psislw_sharded(log_weights, mesh, Reff=1.0, axis='sample'):
@@ -145,6 +147,7 @@ def psislw_sharded(log_weights, mesh, Reff=1.0, axis='sample'):
 
 @lru_cache(maxsize=64)
 def _build_colsumlogs(mesh, axis):
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=P(axis, None), out_specs=P())
     def colsumlogs(lw_local):
         m = jax.lax.pmax(jnp.max(lw_local, axis=0), axis)
@@ -186,6 +189,7 @@ def _psis_moments_local(x_local, slw_local, axis):
 
 @lru_cache(maxsize=64)
 def _build_psis_moments(mesh, axis):
+    @jax.jit
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis, None), P(axis)),
              out_specs=P())
     def moments(x_local, slw_local):
