@@ -194,6 +194,28 @@ def main():
         '{:.3f}s (reference ~{:.0f}s sequential)'.format(
             dt_multi, 8 * BASE_PIPELINE_S))
 
+    # -- sharded bound+PSIS pass (1-device mesh) --
+    # the mesh path is otherwise invisible to a single-chip bench; timing
+    # it here means a caching regression in the shard_map builders (the
+    # round-3 eager-re-lowering defect: 121 s/call through the tunnel,
+    # benchmarks/SCALING.md) shows up as a driver-witnessed number, not a
+    # CPU-test-invisible stall
+    from viabel_tpu.parallel import (make_mesh, psislw_sharded,
+                                     sharded_all_bounds)
+    mesh1 = make_mesh(axis_names=('sample',), shape=(1,),
+                      devices=[jax.devices()[0]])
+
+    def sharded_pass(r):
+        res, lw_s = sharded_all_bounds(
+            model.log_prob, fam, opt_param, N_BOUND,
+            jax.random.PRNGKey(500 + r), mesh1,
+            moment_bound_fn=moment_bound_fn, return_log_weights=True)
+        slw, _ = psislw_sharded(lw_s, mesh1)
+        return slw
+    dt_sharded = steady_state(sharded_pass)
+    log('sharded bound+PSIS pass (1-device mesh): {:.3f}s'.format(
+        dt_sharded))
+
     # -- PSIS over the 2.5e6 log-weights --
     # a distinct input per rep defeats the execution service's result
     # caching (CLAUDE.md: vary inputs per rep); reuse the already-generated
@@ -242,6 +264,10 @@ def main():
             'draw_score_device_ms': round(device_s * 1e3, 3)
             if device_s is not None else None,
             'draw_score_wall_ms': round(dt_draw * 1e3, 1),
+            # the mesh path's fused bound+PSIS pass on a 1-device mesh —
+            # sentinel for shard_map-builder caching regressions
+            # (benchmarks/SCALING.md)
+            'sharded_bound_psis_s': round(dt_sharded, 4),
         },
     }))
 
