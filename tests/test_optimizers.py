@@ -406,3 +406,27 @@ def test_ia_segmented_history_cap_with_long_segments(tmp_path):
     assert fast[1].shape == (2, 100, fam.var_param_dim)
     np.testing.assert_array_equal(seg[1], fast[1])
     np.testing.assert_array_equal(seg[0], fast[0])
+
+
+def test_adagrad_no_history_mode():
+    """return_history=False must reproduce the history-mean tail average
+    without materializing the (tail, P) stack (the large-P mode; a
+    full-rank d=300 family over 40k iterations needs 7+ GB of history)."""
+    from viabel_tpu.models import funnel_model
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    obj = black_box_klvi(fam, model.log_prob, 20, presampled=True)
+    init = jnp.zeros(4, dtype=jnp.float64)
+    kw = dict(key=jax.random.PRNGKey(3), learning_rate=.05, unroll=1)
+    full = adagrad_optimize(400, obj, init, **kw)
+    lean = adagrad_optimize(400, obj, init, return_history=True, **kw)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(lean[0]))
+    lean = adagrad_optimize(400, obj, init, return_history=False, **kw)
+    assert lean[1] is None
+    # identical trajectories -> identical value/log-norm histories
+    np.testing.assert_array_equal(np.asarray(full[2]), np.asarray(lean[2]))
+    np.testing.assert_array_equal(np.asarray(full[3]), np.asarray(lean[3]))
+    # tail average matches the history mean (x64: summation-order exact
+    # agreement is not guaranteed in f32, tight here)
+    np.testing.assert_allclose(np.asarray(lean[0]), np.asarray(full[0]),
+                               rtol=1e-12)
