@@ -191,6 +191,9 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
         state['log_norms'] = np.asarray(wstate.log_norms)
         save_checkpoint(checkpoint_path, state)
 
+    # history mean; the whole-run driver's smoothed param comes from an
+    # in-scan running sum (optimizers._adagrad_run), so the two agree up to
+    # floating-point summation order (trajectories are bit-identical)
     tail = state['params'][3 * n_iters // 4:]
     smoothed = tail.mean(axis=0)
     return (jnp.asarray(smoothed), jnp.asarray(tail),

@@ -215,11 +215,13 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
     function) and hyperparameters, so repeated calls with fresh
     params/keys hit the jit cache.
 
-    ``keep_history=False`` is the large-P mode: instead of emitting the
-    (n_iters, P) parameter stack (7.3 GB at P = 45,450 / 40k iters — more
-    HBM than the chip has), the scan carries a running sum of the
-    tail-quarter iterates and returns only the averaged parameter.  The
-    average matches the history mean up to f32 summation order."""
+    The tail-quarter average is accumulated in the scan carry in BOTH
+    modes (one (P,) add per iteration), so the smoothed parameter is
+    bit-identical whether or not the history is kept.  With
+    ``keep_history=False`` (the large-P mode) the (n_iters, P) parameter
+    stack is never emitted at all — 7.3 GB at P = 45,450 / 40k iters, more
+    HBM than the chip has — and the third return value is the averaged
+    parameter instead of the stack."""
     dtype = init_param.dtype
     P = init_param.shape[0]
     presampled = getattr(obj, 'presampled', False)
@@ -239,11 +241,11 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
                 lambda: jax.debug.callback(_progress_report, i, n_iters,
                                            value),
                 lambda: None)
-        if keep_history:
-            return (inner, tail_sum), out
         i = xs[0]
         value, log_norm, param = out
         tail_sum = tail_sum + jnp.where(i >= tail_start, param, 0.0)
+        if keep_history:
+            return (inner, tail_sum), out
         return (inner, tail_sum), (value, log_norm)
 
     iters = jnp.arange(n_iters)
@@ -259,11 +261,11 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
     # body (measured +5-11% it/s on v5e for unroll in 2..16)
     carry, outs = jax.lax.scan(
         step, ((init_param, wstate), tail_sum), xs, unroll=unroll)
+    tail_mean = carry[1] / jnp.asarray(n_iters - tail_start, dtype)
     if keep_history:
         values, log_norms, params = outs
-        return values, log_norms, params
+        return values, log_norms, params, tail_mean
     values, log_norms = outs
-    tail_mean = carry[1] / jnp.asarray(n_iters - tail_start, dtype)
     return values, log_norms, tail_mean
 
 
@@ -283,10 +285,11 @@ def adagrad_optimize(n_iters, objective_and_grad, init_param, *, key=None,
 
     ``return_history=False`` is the large-P mode: the (tail_iters, P)
     parameter history is never materialized (7+ GB for a full-rank d = 300
-    family over 40k iterations); the tail average is accumulated inside
-    the scan and the second return value is ``None``.  The average matches
-    the history mean up to f32 summation order
-    (`tests/test_optimizers.py::test_adagrad_no_history_mode`).
+    family over 40k iterations) and the second return value is ``None``.
+    In both modes the smoothed parameter comes from the same in-scan
+    running sum, so the two modes agree bit-for-bit
+    (`tests/test_optimizers.py::test_adagrad_no_history_mode`); the
+    in-scan sum equals the history mean up to summation order.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -298,12 +301,11 @@ def adagrad_optimize(n_iters, objective_and_grad, init_param, *, key=None,
             learning_rate_end, init_param, key, progress, unroll,
             keep_history=False)
         return tail_mean, None, values, log_norms
-    values, log_norms, params = _adagrad_run(
+    values, log_norms, params, tail_mean = _adagrad_run(
         obj, n_iters, window, learning_rate, epsilon, learning_rate_end,
         init_param, key, progress, unroll)
     tail = params[3 * n_iters // 4:]
-    smoothed_opt_param = jnp.mean(tail, axis=0)
-    return smoothed_opt_param, tail, values, log_norms
+    return tail_mean, tail, values, log_norms
 
 
 def _perturbed_inits(init_param, n_optimisers, scale, key):
