@@ -93,19 +93,37 @@ def run_dim(d, n_iters, n_bound, key):
     slw, khat = psislw(lw)
     khat = float(khat)
 
+    # flagship API at this dimension: the COMPLETE validated workflow
+    # (optimize + bounds + PSIS + corrected moments) as one fused program —
+    # feasible at d = 300 only because the pipeline's optimizer stage
+    # accumulates the tail average in-scan instead of stacking the
+    # (n_iters, P) history
+    from viabel_tpu import validated_vi
+    def fused(k):
+        out = validated_vi(model.log_prob, fam, init, n_iters,
+                           objective_and_grad=obj, n_bound_samples=n_bound,
+                           key=k, learning_rate=.05, learning_rate_end=.001)
+        return out['smoothed_log_weights']
+    jax.block_until_ready(fused(k_warm))  # compile
+    t_fused = float('inf')
+    for rep in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fused(jax.random.fold_in(k_opt, rep)))
+        t_fused = min(t_fused, time.perf_counter() - t0)
+
     mean, cov = map(np.asarray, fam.mean_and_cov(opt_param))
     mean_err = float(np.linalg.norm(mean - model.true_mean))
     rel_cov_err = float(np.linalg.norm(cov - model.true_cov)
                         / np.linalg.norm(model.true_cov))
     row = dict(d=d, var_param_dim=fam.var_param_dim, n_iters=n_iters,
-               it_s=it_s, bound_pass_s=t_draw, n_bound=n_bound,
-               khat=khat, d2=float(res['d2']), mean_error=mean_err,
-               rel_cov_error=rel_cov_err)
+               it_s=it_s, bound_pass_s=t_draw, fused_pipeline_s=t_fused,
+               n_bound=n_bound, khat=khat, d2=float(res['d2']),
+               mean_error=mean_err, rel_cov_error=rel_cov_err)
     print('d={:4d} (P={:6d}): {:8.0f} it/s | bound pass {:6.3f}s '
-          '(n={:.0e}) | khat {:+.3f} | d2 {:.2e} | mean_err {:.4f} | '
-          'rel cov err {:.3f}'.format(
-              d, fam.var_param_dim, it_s, t_draw, float(n_bound), khat,
-              res['d2'], mean_err, rel_cov_err), flush=True)
+          '(n={:.0e}) | fused pipeline {:7.3f}s | khat {:+.3f} | '
+          'd2 {:.2e} | mean_err {:.4f} | rel cov err {:.3f}'.format(
+              d, fam.var_param_dim, it_s, t_draw, float(n_bound), t_fused,
+              khat, res['d2'], mean_err, rel_cov_err), flush=True)
     return row
 
 
