@@ -41,11 +41,17 @@ def main():
     mesh = make_mesh(axis_names=('sample',))  # all global devices
     key = jax.random.PRNGKey(0)
 
+    # single-fetch closed-form moments, no sample materialization — the
+    # same timed op as scaling.py's tier-1 `_bound_pass_timer`, so the
+    # tier-1/tier-2 comparison is like for like (CLAUDE.md single-fetch
+    # rule: never float() device scalars one by one)
+    from viabel_tpu.bounds import family_moment_bounds
+
     def one_pass(k):
-        res, lw, _ = sharded_all_bounds(
+        res, lw = sharded_all_bounds(
             model.log_prob, fam, vp, n, k, mesh,
-            moment_bound_fn=lambda p: float(fam.pth_moment(vp, p)),
-            return_log_weights=True, return_samples=True)
+            moment_bound_fn=family_moment_bounds(fam, vp),
+            return_log_weights=True)
         slw, khat = psislw_sharded(lw, mesh)
         jax.block_until_ready(slw)
         return res, float(khat)

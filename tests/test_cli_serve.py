@@ -416,3 +416,33 @@ def test_posterior_service_fit_multistart():
                     n_starts=4)
     with pytest.raises(ValueError, match='must all be positive'):
         service.fit(n_starts=0)
+
+
+def test_cli_run_batched_input_validation():
+    """Review findings: --starts <= 0 must exit cleanly (not crash in
+    MLIR / silently run single-start), and --sweep-lr-end must match the
+    --sweep-lr count (not surface a raw traceback)."""
+    from viabel_tpu.__main__ import main
+    with pytest.raises(SystemExit, match='positive'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--starts', '-2'])
+    with pytest.raises(SystemExit, match='positive'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--starts', '0'])
+    with pytest.raises(SystemExit, match='one end rate per'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--sweep-lr', '0.1,0.01', '--sweep-lr-end', '0.001'])
+    with pytest.raises(SystemExit, match='empty list'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--sweep-lr', ','])
+
+
+def test_cli_run_sweep_single_lr_end_broadcasts(capsys):
+    """--learning-rate-end without --sweep-lr-end applies to every swept
+    rate instead of being silently ignored."""
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '200', '--n-mc', '10',
+          '--bound-samples', '4000', '--sweep-lr', '0.1,0.01',
+          '--learning-rate-end', '0.001'])
+    out = capsys.readouterr().out
+    assert 'lr 0.1' in out and 'best by validated d2 bound' in out

@@ -481,3 +481,25 @@ def test_multistart_2d_mesh_validates_bound_divisibility():
     with pytest.raises(ValueError, match='divide n_bound_samples'):
         validated_vi_multistart(model.log_prob, fam, init, 50, n_starts=2,
                                 n_bound_samples=1001, mesh=mesh)
+
+
+def test_multistart_2d_mesh_accepts_typed_keys():
+    """Review finding: the 2-D fused path hardcoded rank-2 key in_specs
+    and crashed on new-style typed PRNG keys, which the 1-D path
+    supports.  Both key flavors must run and agree."""
+    from viabel_tpu import validated_vi_multistart
+    from viabel_tpu.parallel import make_mesh
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    obj = black_box_klvi(fam, model.log_prob, 10, presampled=True)
+    init = fam.init_param()
+    mesh = make_mesh(axis_names=('chain', 'sample'), shape=(2, 4))
+    kw = dict(n_starts=4, objective_and_grad=obj, n_bound_samples=8000,
+              mesh=mesh)
+    typed = validated_vi_multistart(model.log_prob, fam, init, 40,
+                                    key=jax.random.key(5), **kw)
+    raw = validated_vi_multistart(model.log_prob, fam, init, 40,
+                                  key=jax.random.PRNGKey(5), **kw)
+    np.testing.assert_allclose(np.asarray(typed['opt_param']),
+                               np.asarray(raw['opt_param']), rtol=1e-12)
+    assert np.isfinite(typed['khat']).all()

@@ -49,7 +49,9 @@ def _cmd_run(args):
 
     n_starts = getattr(args, 'starts', None)
     sweep_lr = getattr(args, 'sweep_lr', None)
-    if n_starts or sweep_lr:
+    # `is not None` (not truthiness): --starts 0 must reach the batched
+    # runner's validation and fail loudly, not silently run single-start
+    if n_starts is not None or sweep_lr:
         return _run_batched(args, cfg, model, family, objective, opt_key)
 
     if getattr(args, 'fused', False):
@@ -165,6 +167,11 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
     if n_starts and sweep_lr:
         sys.exit('--starts and --sweep-lr are mutually exclusive (one '
                  'batched pipeline per run)')
+    if n_starts is not None and n_starts < 1:
+        sys.exit('--starts must be a positive integer')
+    if getattr(args, 'fused', False):
+        print('note: --starts/--sweep-lr are already single-dispatch fused '
+              'pipelines; --fused adds nothing here')
     if cfg.optimizer != 'adagrad':
         sys.exit('--starts/--sweep-lr run the batched adagrad pipelines; '
                  'set --optimizer adagrad (or drop --optimizer)')
@@ -202,6 +209,8 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
         except ValueError:
             sys.exit('--sweep-lr takes a comma-separated list of rates, '
                      'e.g. --sweep-lr 0.1,0.03,0.01')
+        if not lrs:
+            sys.exit('--sweep-lr got an empty list of rates')
         lr_ends = None
         if args.sweep_lr_end:
             try:
@@ -209,6 +218,13 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
                            if v]
             except ValueError:
                 sys.exit('--sweep-lr-end takes a comma-separated list')
+            if len(lr_ends) != len(lrs):
+                sys.exit('--sweep-lr-end must list one end rate per '
+                         '--sweep-lr rate ({} given for {} rates)'.format(
+                             len(lr_ends), len(lrs)))
+        elif cfg.learning_rate_end is not None:
+            # a single --learning-rate-end applies to every swept rate
+            lr_ends = [cfg.learning_rate_end] * len(lrs)
         out = validated_vi_sweep(
             model.log_prob, family, init, cfg.n_iters, learning_rates=lrs,
             learning_rate_ends=lr_ends, **common)

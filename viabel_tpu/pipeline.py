@@ -398,8 +398,13 @@ def _multistart_sharded2d(obj, var_family, log_density, n_iters,
     # tail statistics are recomputed identically on every sample-axis
     # member from the all_gather'ed candidates, which the replication
     # checker cannot infer statically.
+    # keys spec is rank-dependent: new-style typed PRNG keys are rank-1
+    # (K,) while raw uint32 keys are (K, 2) — same discipline as the 1-D
+    # multistart path below
+    keys_spec = P(*([chain_axis] + [None] * (keys.ndim - 1)))
+
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(chain_axis, None), P(chain_axis, None)),
+             in_specs=(P(chain_axis, None), keys_spec),
              out_specs=out_specs, check_vma=False)
     def run(local_inits, local_keys):
         def one_start(init_param, key):
