@@ -39,3 +39,19 @@ def pytest_collection_modifyitems(config, items):
     config.addinivalue_line(
         'filterwarnings',
         'ignore:.*distinct objective instances.*:UserWarning')
+
+
+def pytest_runtest_teardown(item, nextitem):
+    # Release compiled executables at module boundaries.  The full suite
+    # compiles enough distinct XLA CPU programs that the process crosses
+    # the kernel's vm.max_map_count (65530 default): each loaded
+    # executable holds mmap'ed code pages, and once the map count is
+    # exhausted LLVM's next allocation aborts/segfaults mid-compile
+    # (observed at ~65.1k maps, deterministic late-suite crash in whatever
+    # test compiles next).  Dropping the caches between modules keeps the
+    # map count bounded; within-module compile reuse (the expensive kind)
+    # is unaffected.
+    if nextitem is None or item.module is not getattr(nextitem, 'module',
+                                                      None):
+        import jax
+        jax.clear_caches()

@@ -175,3 +175,22 @@ def test_validated_vi_multistart_repeated_calls_cached(compile_counter):
             MODEL.log_prob, FAM, FAM.init_param(), 50, n_starts=2,
             objective_and_grad=OBJ, n_mc_samples=10, n_bound_samples=4096,
             key=k))
+
+
+def test_public_count_compilations_utility():
+    """The public observability helper detects both a fresh compile and a
+    cached replay (viabel_tpu.utils.count_compilations)."""
+    from viabel_tpu.utils import count_compilations
+
+    @jax.jit
+    def f(x):
+        return (x * 3.0).sum()
+
+    x = jnp.arange(7, dtype=jnp.float32)
+    x2 = x + 1  # pre-compile the eager add outside the counted blocks
+    with count_compilations() as n_first:
+        jax.block_until_ready(f(x))
+    assert n_first[0] >= 1
+    with count_compilations() as n_again:
+        jax.block_until_ready(f(x2))
+    assert n_again[0] == 0

@@ -11,7 +11,8 @@ from time import perf_counter
 
 import jax
 
-__all__ = ['profile_trace', 'ThroughputMeter', 'trace_device_time']
+__all__ = ['profile_trace', 'ThroughputMeter', 'trace_device_time',
+           'count_compilations']
 
 
 @contextlib.contextmanager
@@ -103,3 +104,47 @@ def trace_device_time(log_dir):
                    if e.get('ph') == 'X'
                    and (e.get('pid'), e.get('tid')) in module_tracks)
     return total_us / 1e6
+
+
+@contextlib.contextmanager
+def count_compilations():
+    """Count XLA compilations inside the block (yields a one-element
+    mutable counter; read ``counter[0]`` after the block).
+
+    The framework's performance model assumes every hot entry point
+    compiles once per (static config, shape) and then replays the cached
+    executable — a stray per-call re-lowering costs minutes through a
+    remote-compile service (the eager-shard_map defect fixed in round 3
+    measured 121 s/call; benchmarks/SCALING.md).  Wrap a steady-state loop
+    in this context to verify it compiles nothing:
+
+        with count_compilations() as n:
+            result = my_fitted_pipeline(fresh_key)
+        assert n[0] == 0, 'recompile storm'
+
+    Implementation: listens to JAX's compilation log (`jax_log_compiles`),
+    the same mechanism `tests/test_recompile.py` pins the library's own
+    entry points with.
+    """
+    import logging
+
+    counter = [0]
+
+    class _Handler(logging.Handler):
+        def emit(self, record):
+            if record.getMessage().startswith('Compiling '):
+                counter[0] += 1
+
+    handler = _Handler()
+    logger = logging.getLogger('jax._src.interpreters.pxla')
+    old_level = logger.level
+    old_flag = jax.config.jax_log_compiles
+    logger.addHandler(handler)
+    logger.setLevel(logging.WARNING)
+    jax.config.update('jax_log_compiles', True)
+    try:
+        yield counter
+    finally:
+        jax.config.update('jax_log_compiles', old_flag)
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
