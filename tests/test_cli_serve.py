@@ -437,12 +437,32 @@ def test_cli_run_batched_input_validation():
               '--sweep-lr', ','])
 
 
-def test_cli_run_sweep_single_lr_end_broadcasts(capsys):
+def test_cli_run_sweep_single_lr_end_broadcasts(capsys, monkeypatch):
     """--learning-rate-end without --sweep-lr-end applies to every swept
-    rate instead of being silently ignored."""
+    rate instead of being silently ignored — verified by capturing the
+    learning_rate_ends actually passed to validated_vi_sweep."""
+    import viabel_tpu.pipeline as pipeline
     from viabel_tpu.__main__ import main
+    seen = {}
+    real = pipeline.validated_vi_sweep
+
+    def spy(*args, **kw):
+        seen['learning_rate_ends'] = kw.get('learning_rate_ends')
+        return real(*args, **kw)
+
+    monkeypatch.setattr(pipeline, 'validated_vi_sweep', spy)
     main(['run', '--model', 'funnel', '--n-iters', '200', '--n-mc', '10',
           '--bound-samples', '4000', '--sweep-lr', '0.1,0.01',
           '--learning-rate-end', '0.001'])
+    assert seen['learning_rate_ends'] == [0.001, 0.001]
     out = capsys.readouterr().out
     assert 'lr 0.1' in out and 'best by validated d2 bound' in out
+
+
+def test_cli_run_sweep_lr_end_dominance_validated():
+    """A broadcast end rate >= one of the swept rates exits cleanly
+    instead of surfacing validated_vi_sweep's ValueError traceback."""
+    from viabel_tpu.__main__ import main
+    with pytest.raises(SystemExit, match='0 < end < rate'):
+        main(['run', '--model', 'funnel', '--n-iters', '100',
+              '--sweep-lr', '0.1,0.001', '--learning-rate-end', '0.001'])

@@ -426,7 +426,7 @@ def test_adagrad_no_history_mode():
     # identical trajectories -> identical value/log-norm histories
     np.testing.assert_array_equal(np.asarray(full[2]), np.asarray(lean[2]))
     np.testing.assert_array_equal(np.asarray(full[3]), np.asarray(lean[3]))
-    # tail average matches the history mean (x64: summation-order exact
-    # agreement is not guaranteed in f32, tight here)
-    np.testing.assert_allclose(np.asarray(lean[0]), np.asarray(full[0]),
-                               rtol=1e-12)
+    # both modes read the smoothed param off the SAME in-scan running sum,
+    # so they agree bit-for-bit (the history MEAN may differ from it in
+    # summation order; the cross-mode contract is the bitwise one)
+    np.testing.assert_array_equal(np.asarray(lean[0]), np.asarray(full[0]))

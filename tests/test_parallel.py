@@ -277,3 +277,16 @@ def test_every_sharded_builder_returns_a_jitted_program(mesh):
     ]
     for prog in progs:
         assert isinstance(prog, jax.stages.Wrapped), prog
+
+
+def test_shard_chain_inputs_accepts_typed_keys(chain_mesh):
+    """Review finding: the chain-input placement hardcoded a rank-2 key
+    spec and crashed on new-style typed PRNG keys."""
+    from viabel_tpu.parallel import shard_chain_inputs
+    inits = jnp.zeros((4, 6))
+    typed = jax.random.split(jax.random.key(0), 4)       # (4,) typed
+    raw = jax.random.split(jax.random.PRNGKey(0), 4)     # (4, 2) uint32
+    for keys in (typed, raw):
+        s_inits, s_keys = shard_chain_inputs(inits, keys, chain_mesh)
+        assert s_inits.shape == inits.shape
+        assert s_keys.shape == keys.shape

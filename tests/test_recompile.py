@@ -9,8 +9,6 @@ correctness tests cannot see that class of defect, so these tests count
 XLA compilations directly (via `jax_log_compiles`) and assert the second
 invocation of each public entry point compiles NOTHING.
 """
-import logging
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,72 +24,46 @@ from viabel_tpu.parallel import (make_mesh, psislw_sharded,
                                  sharded_all_bounds, sharded_psis_moments,
                                  shard_over)
 from viabel_tpu.psis import psislw
+from viabel_tpu.utils import count_compilations
 
 
-class _CompileCounter(logging.Handler):
-    def __init__(self):
-        super().__init__()
-        self.count = 0
-
-    def emit(self, record):
-        if record.getMessage().startswith('Compiling '):
-            self.count += 1
-
-
-@pytest.fixture
-def compile_counter():
-    handler = _CompileCounter()
-    logger = logging.getLogger('jax._src.interpreters.pxla')
-    old_level = logger.level
-    logger.addHandler(handler)
-    logger.setLevel(logging.WARNING)
-    jax.config.update('jax_log_compiles', True)
-    try:
-        yield handler
-    finally:
-        jax.config.update('jax_log_compiles', False)
-        logger.removeHandler(handler)
-        logger.setLevel(old_level)
-
-
-def _assert_second_call_cached(compile_counter, call, *variants):
+def _assert_second_call_cached(call, *variants):
     """`call(key)` twice (fresh data, same statics): the second call must
-    trigger zero XLA compilations."""
-    call(jax.random.PRNGKey(0))  # compile everything
-    before = compile_counter.count
-    assert before > 0, 'sanity: the first call should have compiled'
-    for i, k in enumerate(variants or (jax.random.PRNGKey(1),)):
-        call(k)
-    assert compile_counter.count == before, (
-        'the repeated call recompiled ({} -> {} compilations)'.format(
-            before, compile_counter.count))
+    trigger zero XLA compilations.  Counting via the public
+    `viabel_tpu.utils.count_compilations` helper — one implementation of
+    the log-listening mechanism, tested here and usable by users."""
+    with count_compilations() as first:
+        call(jax.random.PRNGKey(0))  # compile everything
+    assert first[0] > 0, 'sanity: the first call should have compiled'
+    with count_compilations() as again:
+        for k in variants or (jax.random.PRNGKey(1),):
+            call(k)
+    assert again[0] == 0, (
+        'the repeated call recompiled ({} compilations)'.format(again[0]))
 
 
 MODEL = funnel_model()
 FAM = mean_field_t_variational_family(2, 40)
 OBJ = black_box_klvi(FAM, MODEL.log_prob, 10, presampled=True)
 TFAM = t_variational_family(2, 50)
-TOBJ = black_box_klvi(TFAM, MODEL.log_prob, 10, presampled=True)
 
 
-def test_adagrad_repeated_calls_cached(compile_counter):
+def test_adagrad_repeated_calls_cached():
     init = FAM.init_param()
     _assert_second_call_cached(
-        compile_counter,
         lambda k: jax.block_until_ready(
             adagrad_optimize(50, OBJ, init, key=k, learning_rate=.01)[0]))
 
 
-def test_ia_optimizer_repeated_calls_cached(compile_counter):
+def test_ia_optimizer_repeated_calls_cached():
     init = FAM.init_param()
     _assert_second_call_cached(
-        compile_counter,
         lambda k: jax.block_until_ready(rmsprop_IA_optimize_with_rhat(
             60, OBJ, init, 2, n_optimisers=2, key=k, rhat_window=20,
             tail_avg_iters=20)[0]))
 
 
-def test_bound_pass_repeated_calls_cached(compile_counter):
+def test_bound_pass_repeated_calls_cached():
     vp = FAM.init_param()
 
     def one_pass(k):
@@ -103,10 +75,10 @@ def test_bound_pass_repeated_calls_cached(compile_counter):
         jax.block_until_ready(slw)
         return res
 
-    _assert_second_call_cached(compile_counter, one_pass)
+    _assert_second_call_cached(one_pass)
 
 
-def test_full_rank_bound_pass_repeated_calls_cached(compile_counter):
+def test_full_rank_bound_pass_repeated_calls_cached():
     vp = TFAM.init_param()
 
     def one_pass(k):
@@ -115,10 +87,10 @@ def test_full_rank_bound_pass_repeated_calls_cached(compile_counter):
         slw, khat = psislw(lw)
         jax.block_until_ready(slw)
 
-    _assert_second_call_cached(compile_counter, one_pass)
+    _assert_second_call_cached(one_pass)
 
 
-def test_sharded_bound_and_psis_repeated_calls_cached(compile_counter):
+def test_sharded_bound_and_psis_repeated_calls_cached():
     """THE regression test for the eager-shard_map defect: before the
     builders were jit-wrapped, every call here re-lowered the shard_map
     program (121 s/call through the remote-compile tunnel)."""
@@ -133,11 +105,11 @@ def test_sharded_bound_and_psis_repeated_calls_cached(compile_counter):
         slw, khat = psislw_sharded(lw, mesh)
         jax.block_until_ready(slw)
 
-    _assert_second_call_cached(compile_counter, one_pass,
+    _assert_second_call_cached(one_pass,
                                jax.random.PRNGKey(1), jax.random.PRNGKey(2))
 
 
-def test_sharded_psis_moments_repeated_calls_cached(compile_counter):
+def test_sharded_psis_moments_repeated_calls_cached():
     mesh = make_mesh(axis_names=('sample',), shape=(8,))
 
     def one_pass(k):
@@ -148,29 +120,26 @@ def test_sharded_psis_moments_repeated_calls_cached(compile_counter):
         jax.block_until_ready(
             sharded_psis_moments(x_s, slw_s, mesh)[0])
 
-    _assert_second_call_cached(compile_counter, one_pass)
+    _assert_second_call_cached(one_pass)
 
 
-def test_validated_vi_repeated_calls_cached(compile_counter):
+def test_validated_vi_repeated_calls_cached():
     _assert_second_call_cached(
-        compile_counter,
         lambda k: validated_vi(MODEL.log_prob, FAM, FAM.init_param(), 50,
                                objective_and_grad=OBJ, n_mc_samples=10,
                                n_bound_samples=4096, key=k))
 
 
-def test_validated_vi_mesh_repeated_calls_cached(compile_counter):
+def test_validated_vi_mesh_repeated_calls_cached():
     mesh = make_mesh(axis_names=('sample',), shape=(8,))
     _assert_second_call_cached(
-        compile_counter,
         lambda k: validated_vi(MODEL.log_prob, FAM, FAM.init_param(), 50,
                                objective_and_grad=OBJ, n_mc_samples=10,
                                n_bound_samples=4096, key=k, mesh=mesh))
 
 
-def test_validated_vi_multistart_repeated_calls_cached(compile_counter):
+def test_validated_vi_multistart_repeated_calls_cached():
     _assert_second_call_cached(
-        compile_counter,
         lambda k: validated_vi_multistart(
             MODEL.log_prob, FAM, FAM.init_param(), 50, n_starts=2,
             objective_and_grad=OBJ, n_mc_samples=10, n_bound_samples=4096,

@@ -225,6 +225,11 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
         elif cfg.learning_rate_end is not None:
             # a single --learning-rate-end applies to every swept rate
             lr_ends = [cfg.learning_rate_end] * len(lrs)
+        if lr_ends is not None:
+            bad = [(e, l) for e, l in zip(lr_ends, lrs) if not 0 < e < l]
+            if bad:
+                sys.exit('each end rate must satisfy 0 < end < rate; got '
+                         'end {:g} for rate {:g}'.format(*bad[0]))
         out = validated_vi_sweep(
             model.log_prob, family, init, cfg.n_iters, learning_rates=lrs,
             learning_rate_ends=lr_ends, **common)

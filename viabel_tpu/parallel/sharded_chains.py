@@ -13,9 +13,14 @@ __all__ = ['shard_chain_inputs']
 
 
 def shard_chain_inputs(inits, keys, mesh, axis='chain'):
-    """Place per-chain inits (n_chains, P) and keys (n_chains, 2) on the
-    mesh, sharded along the chain axis.  Pass the results to any
-    `*_IA_optimize*` optimizer (they vmap over the leading axis) to
-    parallelize chains over devices."""
-    sharding = NamedSharding(mesh, P(axis, None))
-    return (jax.device_put(inits, sharding), jax.device_put(keys, sharding))
+    """Place per-chain inits (n_chains, P) and keys on the mesh, sharded
+    along the chain axis.  Pass the results to any `*_IA_optimize*`
+    optimizer (they vmap over the leading axis) to parallelize chains over
+    devices.
+
+    `keys` may be raw uint32 keys (n_chains, 2) or new-style typed PRNG
+    keys (n_chains,) — the sharding spec is rank-dependent, like the
+    batched pipelines' key handling."""
+    keys_spec = P(*([axis] + [None] * (keys.ndim - 1)))
+    return (jax.device_put(inits, NamedSharding(mesh, P(axis, None))),
+            jax.device_put(keys, NamedSharding(mesh, keys_spec)))
