@@ -51,7 +51,9 @@ def pytest_runtest_teardown(item, nextitem):
     # test compiles next).  Dropping the caches between modules keeps the
     # map count bounded; within-module compile reuse (the expensive kind)
     # is unaffected.
-    if nextitem is None or item.module is not getattr(nextitem, 'module',
-                                                      None):
+    # getattr on BOTH sides: non-Python test items (doctests, file-based
+    # collectors) have no .module property and would raise in teardown
+    if nextitem is None or getattr(item, 'module', None) is not getattr(
+            nextitem, 'module', None):
         import jax
         jax.clear_caches()

@@ -68,6 +68,41 @@ def test_chol_densities():
         sps.multivariate_t(mean, S, df=11.0).logpdf(x), rtol=1e-10)
 
 
+def test_chol_densities_ill_conditioned_factor():
+    """Bound the accuracy loss of the explicit-triangular-inverse path on a
+    badly scaled Cholesky factor (distributions.py replaces the per-sample
+    TriangularSolve with inv(L) @ dev for TPU precision/throughput; a factor
+    whose diagonal spans 1e-6..1e2 — cond(L) ~ 1e8 — is far outside what a
+    variational fit produces).  The oracle is the exact per-sample
+    triangular solve in f64 — NOT scipy's density, whose eigh pseudo-inverse
+    silently projects out the smallest eigenvalue at cond(S) ~ 1e16 and
+    returns a different (wrong) density."""
+    import scipy.linalg as sla
+    dim = 5
+    rng = np.random.RandomState(7)
+    L = np.tril(rng.randn(dim, dim), k=-1) * 0.3 + np.diag(
+        np.logspace(-6, 2, dim))
+    mean = rng.randn(dim)
+    # draw x from the distribution itself so the mahalanobis terms are O(d),
+    # not astronomically large (a generic x would overflow ANY method)
+    x = mean + rng.randn(20, dim) @ L.T
+    z = sla.solve_triangular(L, (x - mean).T, lower=True)
+    maha = np.sum(z * z, axis=0)
+    log_det = 2.0 * np.sum(np.log(np.diag(L)))
+    ref = -0.5 * (maha + log_det + dim * np.log(2 * np.pi))
+    ours = np.asarray(mvn_logpdf_chol(jnp.asarray(x), jnp.asarray(mean),
+                                      jnp.asarray(L)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-8)
+    from scipy.special import gammaln
+    df = 9.0
+    ref_t = (gammaln(0.5 * (df + dim)) - gammaln(0.5 * df)
+             - 0.5 * dim * np.log(np.pi * df) - 0.5 * log_det
+             - 0.5 * (df + dim) * np.log1p(maha / df))
+    ours_t = np.asarray(mvt_logpdf_chol(jnp.asarray(x), jnp.asarray(mean),
+                                        jnp.asarray(L), df))
+    np.testing.assert_allclose(ours_t, ref_t, rtol=1e-8)
+
+
 def test_multivariate_t_logpdf_parity_path():
     """The eigh/pseudo-inverse entry point matches scipy on full-rank S and
     falls back to the normal when df is infinite (the reference uses

@@ -125,6 +125,17 @@ def count_compilations():
     Implementation: listens to JAX's compilation log (`jax_log_compiles`),
     the same mechanism `tests/test_recompile.py` pins the library's own
     entry points with.
+
+    .. note:: This couples to JAX internals (verified against the pinned
+       jax 0.9: the "Compiling <name>" message is emitted from
+       ``jax._src.interpreters.pxla``; older JAX emitted it from
+       ``jax._src.dispatch``, so both loggers are watched).  A JAX upgrade
+       that moves or rewords the log would make this silently count 0 —
+       `tests/test_recompile.py::test_public_count_compilations_utility`
+       guards against that by asserting a fresh compile IS counted.  The
+       context manager also toggles the process-global `jax_log_compiles`
+       flag, so it is not reentrant or thread-safe; use it from one thread
+       at a time.
     """
     import logging
 
@@ -136,15 +147,19 @@ def count_compilations():
                 counter[0] += 1
 
     handler = _Handler()
-    logger = logging.getLogger('jax._src.interpreters.pxla')
-    old_level = logger.level
+    # both the current (pxla) and historical (dispatch) homes of the log
+    loggers = [logging.getLogger('jax._src.interpreters.pxla'),
+               logging.getLogger('jax._src.dispatch')]
+    old_levels = [lg.level for lg in loggers]
     old_flag = jax.config.jax_log_compiles
-    logger.addHandler(handler)
-    logger.setLevel(logging.WARNING)
+    for lg in loggers:
+        lg.addHandler(handler)
+        lg.setLevel(logging.WARNING)
     jax.config.update('jax_log_compiles', True)
     try:
         yield counter
     finally:
         jax.config.update('jax_log_compiles', old_flag)
-        logger.removeHandler(handler)
-        logger.setLevel(old_level)
+        for lg, lvl in zip(loggers, old_levels):
+            lg.removeHandler(handler)
+            lg.setLevel(lvl)
