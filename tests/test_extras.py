@@ -122,6 +122,72 @@ def test_adagrad_resumable_matches_unresumed(tmp_path, monkeypatch):
                                rtol=1e-10)
 
 
+def test_adagrad_resumable_no_history_large_p(tmp_path, monkeypatch):
+    """The large-P resumable mode (round-3 review): a d=100 full-rank run
+    (P = 5150) checkpoints O(window * P), not O(n_iters * P), survives a
+    crash-and-resume mid-tail (the restored running tail sum is nonzero),
+    and its smoothed parameter is BIT-identical to the whole-run driver's
+    in-scan tail sum (same accumulation order;
+    `adagrad_optimize(return_history=False, unroll=1)`)."""
+    import os
+    import shutil
+
+    import viabel_tpu.checkpoint as ckpt
+    from viabel_tpu import t_variational_family
+
+    d = 100
+    fam = t_variational_family(d, 40)
+    target_mean = jnp.linspace(-0.5, 0.5, d)
+    target_log_std = jnp.zeros(d)
+    log_density = _gaussian_target(target_mean, target_log_std)
+    obj = black_box_klvi(fam, log_density, 10)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    key = jax.random.PRNGKey(5)
+    n_iters = 300  # tail averaging starts at 225
+    path = str(tmp_path / 'bigp.npz')
+    snap = str(tmp_path / 'snap_250.npz')
+
+    direct = adagrad_optimize(n_iters, obj, init, key=key,
+                              return_history=False, unroll=1)
+
+    # snapshot the i=250 checkpoint: 25 tail iterations already accumulated,
+    # so the resume below restores a NONZERO running tail sum
+    real_save = ckpt.save_checkpoint
+
+    def spying_save(p, tree):
+        out = real_save(p, tree)
+        if p == path and int(tree['i']) == 250:
+            shutil.copy(path, snap)
+        return out
+
+    monkeypatch.setattr(ckpt, 'save_checkpoint', spying_save)
+    full = ckpt.adagrad_optimize_resumable(
+        n_iters, obj, init, checkpoint_path=path, key=key, save_every=50,
+        return_history=False)
+    assert full[1] is None
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(direct[0]))
+    np.testing.assert_array_equal(np.asarray(full[2]), np.asarray(direct[2]))
+
+    # checkpoint carries no iterate history: size is O(window * P), far
+    # below the 12+ MB an (n_iters, P) f64 history would cost
+    with np.load(path) as data:
+        names = {k.split(':', 1)[1].split('/')[-1] for k in data.files
+                 if ':' in k}
+    assert 'params' not in names and 'tail_sum' in names
+    assert os.path.getsize(path) < 2 * 1024 * 1024
+
+    # crash-and-resume: restore the i=250 snapshot; the resumed run must
+    # reproduce the completed run bit-for-bit
+    shutil.copy(snap, path)
+    resumed = ckpt.adagrad_optimize_resumable(
+        n_iters, obj, init, checkpoint_path=path, key=key, save_every=50,
+        return_history=False)
+    np.testing.assert_array_equal(np.asarray(resumed[0]),
+                                  np.asarray(full[0]))
+    np.testing.assert_array_equal(np.asarray(resumed[2]),
+                                  np.asarray(full[2]))
+
+
 def test_throughput_meter():
     from viabel_tpu.utils import ThroughputMeter
     meter = ThroughputMeter(reps=2)

@@ -13,12 +13,23 @@ kept dependency-free; the pytree structure is recorded alongside the leaves.
 """
 import os
 import tempfile
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .optimizers import _adagrad_segment, _wrap_objective, _WindowState
+
+
+@partial(jax.jit, static_argnames='count')
+def _tail_mean(tail_sum, count):
+    """Jitted divide-by-constant: XLA rewrites x / const to a reciprocal
+    multiply inside compiled programs, so computing the tail mean eagerly
+    would differ from `optimizers._adagrad_run`'s in-scan epilogue by one
+    ulp; jitting with the count static reproduces the same rewrite and
+    keeps the two drivers' smoothed parameters bit-identical."""
+    return tail_sum / jnp.asarray(count, tail_sum.dtype)
 
 __all__ = ['save_checkpoint', 'load_checkpoint', 'load_checkpoint_entry',
            'adagrad_optimize_resumable']
@@ -131,7 +142,7 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
                                checkpoint_path, key=None, save_every=1000,
                                has_log_norm=None, window=10,
                                learning_rate=.01, epsilon=.1,
-                               learning_rate_end=None):
+                               learning_rate_end=None, return_history=True):
     """Windowed adagrad (reference: viabel/vb.py:345-389) with periodic
     checkpointing and automatic resume.
 
@@ -145,23 +156,40 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
     `adagrad_optimize`; for exact trajectory correspondence with the
     whole-run driver pass ``unroll=1`` to `adagrad_optimize` (its default
     unroll=4 can differ from this plain scan in the low bits).
+
+    ``return_history=False`` is the large-P mode (mirroring
+    `adagrad_optimize`'s): the (n_iters, P) iterate history is neither
+    materialized on the host nor written to the checkpoint — the tail
+    average is carried across segments as a running (P,) sum inside the
+    compiled scans, checkpoint size drops from O(n_iters * P) to
+    O(window * P + n_iters) (7.3 GB -> ~2 MB per save at d = 300 / 40k
+    iterations, the DIM_SCALING.md configuration), and the second return
+    value is ``None``.  The accumulation order matches the whole-run
+    driver's in-scan sum exactly, so the smoothed parameter is
+    bit-identical to ``adagrad_optimize(..., return_history=False,
+    unroll=1)``.  The two modes write different checkpoint formats; a run
+    must be resumed in the mode that wrote its checkpoint.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
     P = init_param.shape[0]
+    np_dtype = np.asarray(init_param).dtype
 
     template = dict(
         i=np.zeros((), np.int64),
         key=np.asarray(key),
-        param=np.zeros(P, np.asarray(init_param).dtype),
-        grads=np.zeros((window, P), np.asarray(init_param).dtype),
-        log_norms=np.zeros(window, np.asarray(init_param).dtype),
-        values=np.zeros(n_iters, np.asarray(init_param).dtype),
-        lns=np.zeros(n_iters, np.asarray(init_param).dtype),
-        params=np.zeros((n_iters, P), np.asarray(init_param).dtype),
+        param=np.zeros(P, np_dtype),
+        grads=np.zeros((window, P), np_dtype),
+        log_norms=np.zeros(window, np_dtype),
+        values=np.zeros(n_iters, np_dtype),
+        lns=np.zeros(n_iters, np_dtype),
     )
+    if return_history:
+        template['params'] = np.zeros((n_iters, P), np_dtype)
+    else:
+        template['tail_sum'] = np.zeros(P, np_dtype)
     if os.path.exists(checkpoint_path):
         state = _load_resume_state(checkpoint_path, template)
         _validate_resume(state, template, checkpoint_path, 'key', key)
@@ -174,16 +202,24 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
     param = jnp.asarray(state['param'])
     wstate = _WindowState(jnp.asarray(state['grads']),
                           jnp.asarray(state['log_norms']))
+    tail_sum = (jnp.asarray(state['tail_sum']) if not return_history
+                else jnp.zeros(P, init_param.dtype))
 
     i = start
     while i < n_iters:
         length = min(save_every, n_iters - i)
-        param, wstate, (vals, lns, params_seg) = _adagrad_segment(
+        param, wstate, tail_sum, ys = _adagrad_segment(
             obj, n_iters, window, learning_rate, epsilon, learning_rate_end,
-            length, jnp.asarray(i), param, wstate, key)
+            length, jnp.asarray(i), param, wstate, tail_sum, key,
+            keep_history=return_history)
+        if return_history:
+            vals, lns, params_seg = ys
+            state['params'][i:i + length] = np.asarray(params_seg)
+        else:
+            vals, lns = ys
+            state['tail_sum'] = np.asarray(tail_sum)
         state['values'][i:i + length] = np.asarray(vals)
         state['lns'][i:i + length] = np.asarray(lns)
-        state['params'][i:i + length] = np.asarray(params_seg)
         i += length
         state['i'] = np.asarray(i)
         state['param'] = np.asarray(param)
@@ -191,10 +227,17 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
         state['log_norms'] = np.asarray(wstate.log_norms)
         save_checkpoint(checkpoint_path, state)
 
+    tail_start = 3 * n_iters // 4
+    if not return_history:
+        # same one-add-per-iteration accumulation (and order) as
+        # optimizers._adagrad_run's scan carry: bit-identical smoothed param
+        smoothed = _tail_mean(tail_sum, n_iters - tail_start)
+        return (smoothed, None, jnp.asarray(state['values']),
+                jnp.asarray(state['lns']))
     # history mean; the whole-run driver's smoothed param comes from an
     # in-scan running sum (optimizers._adagrad_run), so the two agree up to
     # floating-point summation order (trajectories are bit-identical)
-    tail = state['params'][3 * n_iters // 4:]
+    tail = state['params'][tail_start:]
     smoothed = tail.mean(axis=0)
     return (jnp.asarray(smoothed), jnp.asarray(tail),
             jnp.asarray(state['values']), jnp.asarray(state['lns']))

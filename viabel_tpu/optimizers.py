@@ -472,22 +472,45 @@ def _chains_segment(obj, kind, n_iters, learning_rate, epsilon,
 
 @partial(jax.jit, static_argnames=('obj', 'n_iters', 'window',
                                    'learning_rate', 'epsilon',
-                                   'learning_rate_end', 'length'))
+                                   'learning_rate_end', 'length',
+                                   'keep_history'))
 def _adagrad_segment(obj, n_iters, window, learning_rate, epsilon,
-                     learning_rate_end, length, i0, param, wstate, key):
+                     learning_rate_end, length, i0, param, wstate, tail_sum,
+                     key, keep_history=True):
     """One compiled segment of the windowed-adagrad run: iterations
     [i0, i0+length).
 
     Module-level jit with the objective static (the `_chains_segment`
     pattern) so every call of the resumable driver — including each resume
     of the same run — reuses the cached executable instead of re-tracing;
-    `i0` is traced so equal-length segments share one program."""
+    `i0` is traced so equal-length segments share one program.
+
+    `tail_sum` carries the running sum of post-update parameters over the
+    tail quarter (iterations >= 3*n_iters//4) across segments — the same
+    one-add-per-iteration accumulation `_adagrad_run` keeps in its scan
+    carry, in the same order, so the resumable driver's smoothed parameter
+    is bit-identical to the whole-run driver's (at ``unroll=1``).  With
+    ``keep_history=False`` the (length, P) parameter stack is never
+    emitted — the large-P resumable mode."""
     dtype = param.dtype
-    step = _make_adagrad_step(obj, n_iters, window, learning_rate, epsilon,
-                              learning_rate_end, dtype)
+    base_step = _make_adagrad_step(obj, n_iters, window, learning_rate,
+                                   epsilon, learning_rate_end, dtype)
+    tail_start = 3 * n_iters // 4
+
+    def step(carry, xs):
+        inner, ts = carry
+        inner, out = base_step(inner, xs)
+        i = xs[0]
+        value, log_norm, new_param = out
+        ts = ts + jnp.where(i >= tail_start, new_param, 0.0)
+        if keep_history:
+            return (inner, ts), out
+        return (inner, ts), (value, log_norm)
+
     xs = _chain_xs(obj, key, i0, length, dtype)
-    (param, wstate), ys = jax.lax.scan(step, (param, wstate), xs)
-    return param, wstate, ys
+    ((param, wstate), tail_sum), ys = jax.lax.scan(
+        step, ((param, wstate), tail_sum), xs)
+    return param, wstate, tail_sum, ys
 
 
 def _segment_progress(i_done, n_iters, tail_values):
@@ -570,21 +593,27 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
                 obj, kind, n_iters, learning_rate, epsilon,
                 learning_rate_end, avg_start, length, jnp.asarray(i),
                 params, v, m, avg, keys)
-            state['values'][:, i:i + length] = np.asarray(vals)
-            state['lns'][:, i:i + length] = np.asarray(lns)
+            # fetch_global: with a multi-controller mesh the chain axis
+            # spans processes and np.asarray would raise; every rank keeps
+            # the full (identical) host state, so checkpoints written on
+            # each host of a pod slice are interchangeable
+            from .parallel import fetch_global
+            state['values'][:, i:i + length] = fetch_global(vals)
+            state['lns'][:, i:i + length] = fetch_global(lns)
             # ring-write the parameter history into the capped host buffer;
             # only the trailing min(length, cap) iterations can survive the
             # cap, and restricting to them keeps the slot indices unique
             # (numpy fancy-index assignment with duplicates is unordered)
             keep = min(length, cap)
             slots = np.arange(i + length - keep, i + length) % cap
-            state['hist'][:, slots] = np.asarray(hist_seg)[:, length - keep:]
+            state['hist'][:, slots] = fetch_global(hist_seg)[:,
+                                                            length - keep:]
             i += length
             state['i'] = np.asarray(i)
-            state['params'] = np.asarray(params)
-            state['v'] = np.asarray(v)
-            state['m'] = np.asarray(m)
-            state['avg'] = np.asarray(avg)
+            state['params'] = fetch_global(params)
+            state['v'] = fetch_global(v)
+            state['m'] = fetch_global(m)
+            state['avg'] = fetch_global(avg)
             if checkpoint_path is not None:
                 from .checkpoint import save_checkpoint
                 save_checkpoint(checkpoint_path, state)
@@ -625,8 +654,17 @@ def _ia_postprocess(K, chains, values, log_norms, rhat_window,
     (reference: viabel/vb.py:629-630) or the run was interrupted — indices
     (R-hat windows, averaging starts) are then relative to the retained
     history, as in the reference's post-pass over the truncated list.
+
+    The fetches go through `parallel.fetch_global`: under a
+    multi-controller runtime the chain axis spans processes and a naive
+    ``np.asarray`` raises; every process gathers the full (small) history
+    so the R-hat gates and averaging windows are computed identically on
+    every rank.
     """
-    chains = np.asarray(chains)
+    from .parallel import fetch_global
+    chains = fetch_global(chains)
+    values = fetch_global(values)
+    log_norms = fetch_global(log_norms)
     hist_len = chains.shape[1]
     rhats = compute_R_hat_adaptive(chains, window_size=rhat_window)
     rhats_halfway = compute_R_hat_halfway(chains, interval=100, start=200)
@@ -714,12 +752,13 @@ def _ia_optimize(kind, perturb_scale, n_iters, objective_and_grad,
      optimisation_log) = _ia_postprocess(
         K, chains, values, log_norms, rhat_window,
         r_mean_threshold, r_sigma_threshold, tail_avg_iters)
+    from .parallel import fetch_global
     if averaging:
         optimisation_log['averaged_variational_param'] = \
-            np.asarray(avg_params)
+            fetch_global(avg_params)
     # post-final-update parameter of the last chain, matching the reference
     # return (reference: viabel/vb.py:547)
-    return (np.asarray(final_params)[-1], np.asarray(chains), avg_means,
+    return (fetch_global(final_params)[-1], fetch_global(chains), avg_means,
             avg_sigmas, value_history, log_norm_history, optimisation_log)
 
 
