@@ -83,6 +83,18 @@ def test_cli_run_fused(capsys):
     assert 'posterior mean estimate' in out
     assert 'khat' in out
     assert 'PSIS-corrected mean' in out
+    # 5000 divides over the 8-device test pool: the fused bound stage must
+    # shard over the sample axis (round-3 review: --fused was mesh-blind)
+    assert 'mesh: 8 devices on the sample axis' in out
+
+
+def test_cli_run_fused_notes_indivisible_bound_samples(capsys):
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '100', '--n-mc', '10',
+          '--bound-samples', '900', '--fused'])
+    out = capsys.readouterr().out
+    assert 'does not divide over the 8 attached devices' in out
+    assert 'khat' in out
 
 
 def test_cli_run_fused_rejects_unsupported_flags():
@@ -372,6 +384,20 @@ def test_cli_run_multistart(capsys):
     assert 'start 0 (unperturbed)' in out
     assert 'best by validated d2 bound' in out
     assert 'khat =' in out
+    # 4 starts on the 8-device test pool do not divide: the CLI must say so
+    # (round-3 review: silently skipping attached devices), not just run
+    # single-device
+    assert 'does not divide over the 8 attached devices' in out
+
+
+def test_cli_run_multistart_uses_mesh_when_divisible(capsys):
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '100', '--n-mc', '10',
+          '--bound-samples', '4000', '--starts', '8',
+          '--perturb-scale', '0.1'])
+    out = capsys.readouterr().out
+    assert 'mesh: 8 devices on the chain axis' in out
+    assert 'best by validated d2 bound' in out
 
 
 def test_cli_run_sweep(capsys):
@@ -380,6 +406,18 @@ def test_cli_run_sweep(capsys):
           '--bound-samples', '4000', '--sweep-lr', '0.1,0.01'])
     out = capsys.readouterr().out
     assert 'lr 0.1' in out and 'lr 0.01' in out
+    assert 'best by validated d2 bound' in out
+    # 2 rates on the 8-device test pool do not divide: the CLI must say so
+    assert 'do not divide over the 8 attached devices' in out
+
+
+def test_cli_run_sweep_uses_mesh_when_divisible(capsys):
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '100', '--n-mc', '10',
+          '--bound-samples', '4000', '--sweep-lr',
+          '0.1,0.07,0.05,0.03,0.02,0.01,0.007,0.005'])
+    out = capsys.readouterr().out
+    assert 'mesh: 8 devices on the chain (rate) axis' in out
     assert 'best by validated d2 bound' in out
 
 
@@ -416,6 +454,49 @@ def test_posterior_service_fit_multistart():
                     n_starts=4)
     with pytest.raises(ValueError, match='must all be positive'):
         service.fit(n_starts=0)
+
+
+def test_posterior_service_fit_uses_mesh(monkeypatch):
+    """On a multi-device host /fit must exploit the attached devices
+    (round-3 review: the service ran the vmapped multistart single-device
+    while the CLI partitioned).  4 starts on the 8-device pool take a
+    (4, 2) (chain, sample) mesh; a single-start fit takes the full
+    8-device sample mesh; indivisible sizes fall back to None."""
+    import viabel_tpu.pipeline as pl
+    service = _make_service()
+
+    # the placement rule itself
+    mesh = service._fit_mesh(4, 4000)
+    assert mesh is not None and dict(zip(mesh.axis_names, mesh.devices.shape)) \
+        == {'chain': 4, 'sample': 2}
+    mesh1 = service._fit_mesh(1, 4000)
+    assert mesh1 is not None and mesh1.devices.shape == (8,)
+    assert service._fit_mesh(3, 4000) is None       # gcd(3, 8) == 1
+    assert service._fit_mesh(4, 4001) is None       # 4001 % 2 != 0
+    assert service._fit_mesh(1, 4001) is None       # 4001 % 8 != 0
+
+    # the mesh actually reaches the pipeline calls
+    seen = {}
+    real_ms = pl.validated_vi_multistart
+    real_single = pl.validated_vi
+
+    def spy_ms(*args, **kwargs):
+        seen['ms_mesh'] = kwargs.get('mesh')
+        return real_ms(*args, **kwargs)
+
+    def spy_single(*args, **kwargs):
+        seen['vi_mesh'] = kwargs.get('mesh')
+        return real_single(*args, **kwargs)
+
+    monkeypatch.setattr(pl, 'validated_vi_multistart', spy_ms)
+    monkeypatch.setattr(pl, 'validated_vi', spy_single)
+    out = service.fit(n_iters=200, n_mc_samples=20, n_bound_samples=4000,
+                      n_starts=4, perturb_scale=0.1)
+    assert seen['ms_mesh'] is not None
+    assert np.isfinite(out['bounds']['d2'])
+    out1 = service.fit(n_iters=200, n_mc_samples=20, n_bound_samples=4000)
+    assert seen['vi_mesh'] is not None
+    assert np.isfinite(out1['bounds']['d2'])
 
 
 def test_cli_run_batched_input_validation():

@@ -67,12 +67,27 @@ def _cmd_run(args):
                      'fused program is a single device call; use the '
                      'non-fused path for resumable runs)')
         from .pipeline import validated_vi
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            if cfg.bound_samples % n_dev == 0:
+                # shard the fused program's bound/PSIS stage over all
+                # attached devices (the optimizer scan replicates; samples
+                # and log-weights never leave their device)
+                from .parallel import make_mesh
+                mesh = make_mesh(axis_names=('sample',), shape=(n_dev,))
+                print('mesh: {} devices on the sample axis'.format(n_dev))
+            else:
+                print('note: --bound-samples {} does not divide over the '
+                      '{} attached devices; running the bound stage '
+                      'single-device (pick a multiple of {})'.format(
+                          cfg.bound_samples, n_dev, n_dev))
         out = validated_vi(
             model.log_prob, family, init, cfg.n_iters,
             objective_and_grad=objective,
             n_bound_samples=cfg.bound_samples, key=opt_key,
             learning_rate=cfg.learning_rate,
-            learning_rate_end=cfg.learning_rate_end)
+            learning_rate_end=cfg.learning_rate_end, mesh=mesh)
         values = np.asarray(out['value_history'])
         print('final loss (tail mean): {:.6g}'.format(
             float(values[-max(len(values) // 10, 1):].mean())))
@@ -190,11 +205,21 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
         from .pipeline import validated_vi_multistart
         mesh = None
         n_dev = len(jax.devices())
-        if n_dev > 1 and n_starts % n_dev == 0:
-            # partition the start axis over all attached devices
-            from .parallel import make_mesh
-            mesh = make_mesh(axis_names=('chain',), shape=(n_dev,))
-            print('mesh: {} devices on the chain axis'.format(n_dev))
+        if n_dev > 1:
+            if n_starts % n_dev == 0:
+                # partition the start axis over all attached devices
+                from .parallel import make_mesh
+                mesh = make_mesh(axis_names=('chain',), shape=(n_dev,))
+                print('mesh: {} devices on the chain axis'.format(n_dev))
+            else:
+                # never skip attached devices silently: the user asked for
+                # K starts on an N-device host and should know why they run
+                # on one device (pipeline.py fails loudly on the same
+                # divisibility when a mesh IS passed)
+                print('note: --starts {} does not divide over the {} '
+                      'attached devices; running single-device (pick a '
+                      'multiple of {} to partition starts over the '
+                      'mesh)'.format(n_starts, n_dev, n_dev))
         out = validated_vi_multistart(
             model.log_prob, family, init, cfg.n_iters, n_starts=n_starts,
             perturb_scale=args.perturb_scale,
@@ -230,9 +255,23 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
             if bad:
                 sys.exit('each end rate must satisfy 0 < end < rate; got '
                          'end {:g} for rate {:g}'.format(*bad[0]))
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            if len(lrs) % n_dev == 0:
+                # partition the rate axis over all attached devices
+                from .parallel import make_mesh
+                mesh = make_mesh(axis_names=('chain',), shape=(n_dev,))
+                print('mesh: {} devices on the chain (rate) axis'.format(
+                    n_dev))
+            else:
+                print('note: {} swept rates do not divide over the {} '
+                      'attached devices; running single-device (pick a '
+                      'multiple of {} rates to partition the sweep over '
+                      'the mesh)'.format(len(lrs), n_dev, n_dev))
         out = validated_vi_sweep(
             model.log_prob, family, init, cfg.n_iters, learning_rates=lrs,
-            learning_rate_ends=lr_ends, **common)
+            learning_rate_ends=lr_ends, mesh=mesh, **common)
         labels = ['lr {:g}'.format(lr) for lr in lrs]
 
     values = np.asarray(out['value_history'])

@@ -118,7 +118,8 @@ def _pack_host_scalars(stats, moments, khat, q_cov):
 
 
 def _unpack_host_scalars(pack, n, dim):
-    pack = np.asarray(pack)
+    from .parallel import fetch_global
+    pack = fetch_global(pack)  # multi-controller-safe np.asarray
     nf = len(_PACK_FIELDS)
     head = [float(v) for v in pack[:nf + 3]]
     stats = dict(zip(_PACK_FIELDS, head[:nf]), n=n)
@@ -344,6 +345,79 @@ def _assemble_bounds(host_pack, n, dim, alpha, log_norm_bound):
     return bounds, khat
 
 
+def _one_sharded_run(obj, var_family, log_density, n_iters, n_bound_samples,
+                     window, learning_rate, epsilon, learning_rate_end,
+                     alpha, unroll, tail_len, sample_axis, n_local,
+                     need_empirical, init_param, key):
+    """One complete pipeline run (optimize -> sample-sharded bound/PSIS)
+    executing *inside* a shard_map over a 2-D mesh — the shared body of
+    `_multistart_sharded2d` (per-start static learning rate) and
+    `_sweep_sharded2d` (per-rate traced learning rate).
+
+    The optimizer scan is replicated along `sample_axis` (identical inputs
+    -> identical trajectory on every member, no communication needed — the
+    variational parameters are tiny, so recomputing beats communicating);
+    the bound stage draws/scores only ``n_local`` samples per device and
+    its statistics, PSIS tail fit, and corrected moments ride `sample_axis`
+    collectives.
+    """
+    from .parallel.sharded_bounds import (_central_moments_from_locals,
+                                          _stats_from_locals)
+    from .parallel.sharded_psis import _psis_moments_local, _smooth_local
+
+    opt_key, draw_key = jax.random.split(key)
+    values, log_norms, opt_param = _optimize_and_average(
+        obj, n_iters, window, learning_rate, epsilon,
+        learning_rate_end, unroll, init_param, opt_key)
+
+    sidx = jax.lax.axis_index(sample_axis)
+    k_local = jax.random.fold_in(draw_key, sidx)
+    samples = var_family.sample(k_local, opt_param, n_local)
+    lw_local = (log_density(samples)
+                - var_family.log_prob(opt_param, samples))
+    stats = _stats_from_locals(lw_local, alpha, n_bound_samples,
+                               sample_axis)
+    if need_empirical:
+        cm = _central_moments_from_locals(samples, n_bound_samples,
+                                          sample_axis)
+        moments = {2: cm['C2'], 4: cm['C4']}
+    else:
+        moments = _closed_form_moments(var_family, opt_param, alpha)
+
+    cutoffmin = jnp.log(jnp.finfo(lw_local.dtype).tiny)
+    slw, khat = _smooth_local(lw_local, sample_axis, tail_len,
+                              cutoffmin)
+    psis_mean, psis_cov = _psis_moments_local(samples, slw,
+                                              sample_axis)
+    return _result_dict(var_family, values, log_norms, opt_param,
+                        stats, moments, lw_local, slw, khat,
+                        psis_mean, psis_cov)
+
+
+def _sharded2d_out_specs(chain_axis, sample_axis):
+    """Output partitioning of the batched 2-D pipelines: per-run arrays over
+    `chain_axis`, per-sample arrays additionally over `sample_axis`.  The
+    scalar pack every host decision reads (`host_pack` -> bounds, khat,
+    best-run selection) is all_gather'ed inside the program and comes out
+    replicated, so it is addressable by every process of a
+    multi-controller run — fetching a chain-sharded array with
+    `np.asarray` would fail on the processes that do not own it."""
+    from jax.sharding import PartitionSpec as P
+    return dict(
+        opt_param=P(chain_axis, None),
+        value_history=P(chain_axis, None),
+        log_norm_history=P(chain_axis, None),
+        q_mean=P(chain_axis, None),
+        q_cov=P(chain_axis, None, None),
+        log_weights=P(chain_axis, sample_axis),
+        smoothed_log_weights=P(chain_axis, sample_axis),
+        khat=P(chain_axis),
+        psis_mean=P(chain_axis, None),
+        psis_cov=P(chain_axis, None, None),
+        host_pack=P(None, None),
+    )
+
+
 @partial(jax.jit, static_argnames=(
     'obj', 'var_family', 'log_density', 'n_iters', 'n_bound_samples',
     'window', 'learning_rate', 'epsilon', 'learning_rate_end', 'alpha',
@@ -368,9 +442,6 @@ def _multistart_sharded2d(obj, var_family, log_density, n_iters,
     and viabel/bounds.py:169-176 — the sample reduction being sharded).
     """
     from jax.sharding import PartitionSpec as P
-    from .parallel.sharded_bounds import (_central_moments_from_locals,
-                                          _stats_from_locals)
-    from .parallel.sharded_psis import _psis_moments_local, _smooth_local
 
     n_local = n_bound_samples // mesh.shape[sample_axis]
     # static probe: does the family have closed-form C2/C4 moments?
@@ -379,20 +450,6 @@ def _multistart_sharded2d(obj, var_family, log_density, n_iters,
     # `_pipeline_run_sharded`)
     need_empirical = _closed_form_moments(var_family, init_params[0],
                                           alpha) is None
-
-    out_specs = dict(
-        opt_param=P(chain_axis, None),
-        value_history=P(chain_axis, None),
-        log_norm_history=P(chain_axis, None),
-        q_mean=P(chain_axis, None),
-        q_cov=P(chain_axis, None, None),
-        log_weights=P(chain_axis, sample_axis),
-        smoothed_log_weights=P(chain_axis, sample_axis),
-        khat=P(chain_axis),
-        psis_mean=P(chain_axis, None),
-        psis_cov=P(chain_axis, None, None),
-        host_pack=P(chain_axis, None),
-    )
 
     # check_vma=False for the same reason as parallel/sharded_psis: the
     # tail statistics are recomputed identically on every sample-axis
@@ -405,42 +462,73 @@ def _multistart_sharded2d(obj, var_family, log_density, n_iters,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(chain_axis, None), keys_spec),
-             out_specs=out_specs, check_vma=False)
+             out_specs=_sharded2d_out_specs(chain_axis, sample_axis),
+             check_vma=False)
     def run(local_inits, local_keys):
         def one_start(init_param, key):
-            opt_key, draw_key = jax.random.split(key)
-            # replicated along sample_axis: identical inputs -> identical
-            # trajectory on every member, no communication needed
-            values, log_norms, opt_param = _optimize_and_average(
-                obj, n_iters, window, learning_rate, epsilon,
-                learning_rate_end, unroll, init_param, opt_key)
+            return _one_sharded_run(
+                obj, var_family, log_density, n_iters, n_bound_samples,
+                window, learning_rate, epsilon, learning_rate_end, alpha,
+                unroll, tail_len, sample_axis, n_local, need_empirical,
+                init_param, key)
 
-            sidx = jax.lax.axis_index(sample_axis)
-            k_local = jax.random.fold_in(draw_key, sidx)
-            samples = var_family.sample(k_local, opt_param, n_local)
-            lw_local = (log_density(samples)
-                        - var_family.log_prob(opt_param, samples))
-            stats = _stats_from_locals(lw_local, alpha, n_bound_samples,
-                                       sample_axis)
-            if need_empirical:
-                cm = _central_moments_from_locals(samples, n_bound_samples,
-                                                  sample_axis)
-                moments = {2: cm['C2'], 4: cm['C4']}
-            else:
-                moments = _closed_form_moments(var_family, opt_param, alpha)
-
-            cutoffmin = jnp.log(jnp.finfo(lw_local.dtype).tiny)
-            slw, khat = _smooth_local(lw_local, sample_axis, tail_len,
-                                      cutoffmin)
-            psis_mean, psis_cov = _psis_moments_local(samples, slw,
-                                                      sample_axis)
-            return _result_dict(var_family, values, log_norms, opt_param,
-                                stats, moments, lw_local, slw, khat,
-                                psis_mean, psis_cov)
-
-        return jax.vmap(one_start)(local_inits, local_keys)
+        out = jax.vmap(one_start)(local_inits, local_keys)
+        # replicate the host-facing scalar pack across the chain axis (tiny:
+        # (n_starts, n_stats + d^2) floats) so every process of a
+        # multi-controller run can assemble bounds and pick the best start
+        out['host_pack'] = jax.lax.all_gather(
+            out['host_pack'], chain_axis, axis=0, tiled=True)
+        return out
 
     return run(init_params, keys)
+
+
+@partial(jax.jit, static_argnames=(
+    'obj', 'var_family', 'log_density', 'n_iters', 'n_bound_samples',
+    'window', 'epsilon', 'alpha', 'unroll', 'tail_len', 'mesh',
+    'chain_axis', 'sample_axis', 'has_lr_end'))
+def _sweep_sharded2d(obj, var_family, log_density, n_iters, n_bound_samples,
+                     window, epsilon, alpha, unroll, tail_len, mesh,
+                     chain_axis, sample_axis, has_lr_end, init_param, key,
+                     lrs, lr_ends):
+    """The learning-rate sweep with both mesh axes active in ONE fused
+    program: the rate axis is partitioned over `chain_axis` (each device
+    runs ``n_rates / C`` complete optimizer scans) and every rate's
+    bound/PSIS stage is sharded over `sample_axis` — the sweep counterpart
+    of `_multistart_sharded2d`, sharing its body (`_one_sharded_run`) with
+    the learning rate traced per element instead of static.  The init and
+    key are replicated (common random numbers, as in the unsharded sweep).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_local = n_bound_samples // mesh.shape[sample_axis]
+    need_empirical = _closed_form_moments(var_family, init_param,
+                                          alpha) is None
+    keys_spec = P(*([None] * key.ndim))
+    lr_specs = (P(chain_axis), P(chain_axis)) if has_lr_end \
+        else (P(chain_axis),)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None), keys_spec) + lr_specs,
+             out_specs=_sharded2d_out_specs(chain_axis, sample_axis),
+             check_vma=False)
+    def run(init, k, *local_lr_args):
+        def one_rate(lr, lr_end):
+            return _one_sharded_run(
+                obj, var_family, log_density, n_iters, n_bound_samples,
+                window, lr, epsilon, lr_end, alpha, unroll, tail_len,
+                sample_axis, n_local, need_empirical, init, k)
+
+        if has_lr_end:
+            out = jax.vmap(one_rate)(*local_lr_args)
+        else:
+            out = jax.vmap(lambda lr: one_rate(lr, None))(local_lr_args[0])
+        out['host_pack'] = jax.lax.all_gather(
+            out['host_pack'], chain_axis, axis=0, tiled=True)
+        return out
+
+    args = (init_param, key, lrs) + ((lr_ends,) if has_lr_end else ())
+    return run(*args)
 
 
 def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
@@ -545,8 +633,11 @@ def _finalize_batch(out, n_runs, n_bound_samples, dim, alpha,
     """Host assembly for batched pipelines: per-run bounds from the stacked
     pack (one fetch), plus best-run selection by the validated divergence
     bound — diverged runs (non-finite d) never win; all-diverged falls back
-    to run 0."""
-    packs = np.asarray(out.pop('host_pack'))
+    to run 0.  The pack fetch goes through `parallel.fetch_global` so a
+    multi-controller run (chain axis spanning processes) assembles the
+    same bounds and picks the same best run on every rank."""
+    from .parallel import fetch_global
+    packs = fetch_global(out.pop('host_pack'))
     bounds, khats = [], []
     for k in range(n_runs):
         b, kh = _assemble_bounds(packs[k], n_bound_samples, dim, alpha,
@@ -584,7 +675,8 @@ def validated_vi_sweep(log_density, var_family, init_param, n_iters, *,
                        objective_and_grad=None, n_mc_samples=100,
                        n_bound_samples=100000, alpha=2.0, key=None,
                        has_log_norm=None, window=10, epsilon=0.1,
-                       unroll=4, log_norm_bound=None):
+                       unroll=4, log_norm_bound=None, mesh=None,
+                       axis='chain', sample_axis='sample'):
     """Learning-rate sweep: one compiled program runs the complete
     validated pipeline once per rate and reports which rate's fit carries
     the tightest validated bound.
@@ -601,6 +693,16 @@ def validated_vi_sweep(log_density, var_family, init_param, n_iters, *,
     learning_rate_ends : optional array-like of float
         Per-rate schedule endpoints (each < its rate); None runs
         constant-rate schedules.
+    mesh : optional jax.sharding.Mesh
+        Partition the rate axis over the mesh's `axis` (default ``chain``)
+        — N rates on N devices run in one rate's wall-clock, exactly like
+        `validated_vi_multistart(mesh=)`.  When the mesh also carries
+        `sample_axis` with more than one member (a 2-D ``(chain, sample)``
+        mesh), each rate's bound/PSIS stage additionally shards over
+        `sample_axis` in the same fused program (`_sweep_sharded2d`);
+        `axis` must divide the number of rates and `sample_axis` must
+        divide `n_bound_samples`.  Pass ``sample_axis=None`` to force the
+        rate-axis-only placement.
 
     Returns
     -------
@@ -629,13 +731,44 @@ def validated_vi_sweep(log_density, var_family, init_param, n_iters, *,
             raise ValueError('each end rate must satisfy '
                              '0 < learning_rate_end < learning_rate')
     tail_len = _tail_len(n_bound_samples, 1.0)
+    dtype = init_param.dtype
+    lrs_dev = jnp.asarray(lrs, dtype=dtype)
+    lr_ends_dev = None if lr_ends is None else jnp.asarray(lr_ends,
+                                                           dtype=dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if lrs.size % mesh.shape[axis]:
+            raise ValueError('the mesh axis size ({}) must divide the '
+                             'number of learning rates ({})'.format(
+                                 mesh.shape[axis], lrs.size))
+        lr_sharding = NamedSharding(mesh, P(axis))
+        lrs_dev = jax.device_put(lrs_dev, lr_sharding)
+        if lr_ends_dev is not None:
+            lr_ends_dev = jax.device_put(lr_ends_dev, lr_sharding)
+        if (sample_axis is not None and sample_axis in mesh.axis_names
+                and mesh.shape[sample_axis] > 1):
+            # both mesh axes in one fused program
+            if n_bound_samples % mesh.shape[sample_axis]:
+                raise ValueError(
+                    'the mesh {} axis size ({}) must divide '
+                    'n_bound_samples ({})'.format(
+                        sample_axis, mesh.shape[sample_axis],
+                        n_bound_samples))
+            out = _sweep_sharded2d(
+                obj, var_family, log_density, n_iters, n_bound_samples,
+                window, epsilon, alpha, unroll, tail_len, mesh, axis,
+                sample_axis, lr_ends is not None, init_param, key, lrs_dev,
+                lr_ends_dev)
+            out = _finalize_batch(out, lrs.size, n_bound_samples,
+                                  var_family.dim, alpha, log_norm_bound)
+            out['learning_rates'] = lrs
+            return out
     runner = _sweep_runner(obj, var_family, log_density, n_iters,
                            n_bound_samples, window, epsilon, alpha, unroll,
                            tail_len, lr_ends is not None)
-    dtype = init_param.dtype
-    args = (init_param, key, jnp.asarray(lrs, dtype=dtype))
-    if lr_ends is not None:
-        args += (jnp.asarray(lr_ends, dtype=dtype),)
+    args = (init_param, key, lrs_dev)
+    if lr_ends_dev is not None:
+        args += (lr_ends_dev,)
     out = runner(*args)
     out = _finalize_batch(out, lrs.size, n_bound_samples, var_family.dim,
                           alpha, log_norm_bound)

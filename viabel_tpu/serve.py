@@ -199,6 +199,35 @@ class PosteriorService:
         finally:
             self._fit_lock.release()
 
+    def _fit_mesh(self, n_starts, n_bound_samples):
+        """Mesh placement for a /fit on a multi-device host (round-3
+        review: the service was mesh-blind while the CLI partitioned).
+
+        With K starts on N devices the start axis takes ``C = gcd(K, N)``
+        devices and the remaining ``S = N / C`` shard each start's bound
+        pass (the 2-D production layout of `validated_vi_multistart`);
+        a single start puts all devices on the sample axis.  Returns None
+        — single-device execution — when the requested sizes do not
+        divide, mirroring the CLI's loud fallback (the caller logs)."""
+        import math
+
+        import jax
+        from .parallel import make_mesh
+        n_dev = len(jax.devices())
+        if n_dev <= 1:
+            return None
+        if n_starts == 1:
+            if n_bound_samples % n_dev:
+                return None
+            return make_mesh(axis_names=('sample',), shape=(n_dev,))
+        c = math.gcd(n_starts, n_dev)
+        if c == 1:
+            return None
+        s = n_dev // c
+        if s > 1 and n_bound_samples % s:
+            return None
+        return make_mesh(axis_names=('chain', 'sample'), shape=(c, s))
+
     def _fit_locked(self, n_iters, n_mc_samples, n_bound_samples, lr,
                     lr_end, n_starts, pscale):
         import jax.numpy as jnp
@@ -218,6 +247,7 @@ class PosteriorService:
                             self.max_distinct_fit_configs))
                 self._fit_configs.add(cfg)
         var_param, _, _ = self._snapshot()
+        mesh = self._fit_mesh(n_starts, n_bound_samples)
         best = None
         try:
             if n_starts > 1:
@@ -226,7 +256,7 @@ class PosteriorService:
                     n_starts=n_starts, perturb_scale=pscale,
                     n_mc_samples=n_mc_samples,
                     n_bound_samples=n_bound_samples, key=self._next_key(),
-                    learning_rate=lr, learning_rate_end=lr_end)
+                    learning_rate=lr, learning_rate_end=lr_end, mesh=mesh)
                 best = ms['best']
                 # project the winning start's slices into the
                 # single-fit result layout
@@ -240,7 +270,7 @@ class PosteriorService:
                     self.model.log_prob, self.family, var_param, n_iters,
                     n_mc_samples=n_mc_samples,
                     n_bound_samples=n_bound_samples, key=self._next_key(),
-                    learning_rate=lr, learning_rate_end=lr_end)
+                    learning_rate=lr, learning_rate_end=lr_end, mesh=mesh)
         except (ValueError, TypeError):
             # Validation / trace-time errors are raised before anything
             # compiled, so the config slot can be returned.  Failures from
