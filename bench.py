@@ -233,6 +233,24 @@ def main():
     khat = float(out[1])
     log('PSIS (2.5e6 weights): {:.3f}s, khat = {:.3f}'.format(dt_psis, khat))
 
+    # -- headline re-measurement, same session --
+    # The wall-clock of every op here rides the tunnel's session-dependent
+    # dispatch-latency floor (CLAUDE.md: ~0.1-35 ms per dispatch, varies by
+    # session): identical code measured 8.45M evals/s in one session and
+    # 7.85M in another (-7%, BENCH_r02 vs r03).  A second best-of-3 of the
+    # SAME executable minutes later separates within-session noise from a
+    # real regression: round-over-round deltas inside the within-session
+    # spread are session noise, not code.
+    dt_klvi2 = steady_state(lambda r: adagrad_optimize(
+        N_ITERS, klvi, init, key=jax.random.PRNGKey(600 + r),
+        learning_rate=.01, learning_rate_end=.001)[0])
+    klvi_it_s2 = N_ITERS / dt_klvi2
+    spread_pct = 100.0 * abs(klvi_it_s2 - klvi_it_s) / klvi_it_s
+    log('KLVI re-run (same session): {:.0f} it/s vs {:.0f} first '
+        '({:.1f}% within-session spread); cross-session deltas up to ~7% '
+        'on identical code are the dispatch-floor moving, not a '
+        'regression'.format(klvi_it_s2, klvi_it_s, spread_pct))
+
     evals_per_s = klvi_it_s * N_MC_KLVI
     print(json.dumps({
         'metric': 'eight_schools_cp_klvi_elbo_grad_evals_per_s_per_chip',
@@ -268,6 +286,11 @@ def main():
             # sentinel for shard_map-builder caching regressions
             # (benchmarks/SCALING.md)
             'sharded_bound_psis_s': round(dt_sharded, 4),
+            # same-session headline re-measurement: round-over-round
+            # deltas within this spread (plus the documented ~7%
+            # cross-session dispatch-floor swing) are session noise
+            'klvi_evals_per_s_rerun': round(klvi_it_s2 * N_MC_KLVI, 1),
+            'within_session_spread_pct': round(spread_pct, 2),
         },
     }))
 

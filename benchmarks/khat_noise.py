@@ -64,6 +64,97 @@ def run_config(name, model, fam, obj, init, n_iters, n_bound, seeds, ref,
     return res
 
 
+def nm_noise(seeds=16, quick=False, cpu=False):
+    """Seed-noise bands for the normal-mixture bounds-only workload
+    (examples/normal_mixture.py; VERDICT r3 item 9: the RESULTS.md rows
+    carried no band).  No optimizer is involved — each seed draws fresh
+    q-samples and re-evaluates the three bound configurations, so the band
+    is pure Monte Carlo noise of the bound estimators.
+
+    The band is computed at the REFERENCE's sample size, n = 50,000
+    (normal-mixture.ipynb cell 8: ``n_samples = 50000``) — the z-score
+    judges the reference's single notebook draw against the fresh-seed
+    distribution of the same-size estimator, so the estimator noise being
+    scored matches the noise the reference value actually carries.  (The
+    parity columns run the example's full mode at n = 1e6, which is ~4.5x
+    tighter; a z computed against THAT band would mostly measure the
+    reference's own small-n noise.)
+
+    Merges ``nm_*`` configs into the existing KHAT_NOISE.json (the
+    optimizer campaigns recorded on the TPU are left untouched; this
+    workload is backend-independent statistics, each config is tagged
+    with the backend that produced it).
+    """
+    if cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    import warnings
+
+    from scipy.special import factorial2
+
+    from viabel_tpu import all_bounds
+    from viabel_tpu.bounds import MonteCarloErrorWarning
+    warnings.simplefilter('ignore', MonteCarloErrorWarning)
+
+    q_var = 5.0
+    n = 50000  # the reference protocol's size (see docstring)
+    mb = lambda order: factorial2(order - 1) * q_var ** (order / 2)
+
+    def one_seed(s):
+        samples = jnp.sqrt(q_var) * jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(918), s), (n,))
+        log_q = (-0.5 * samples ** 2 / q_var
+                 - 0.5 * jnp.log(2 * jnp.pi * q_var))
+        log_p = jnp.logaddexp(-0.5 * (samples + 2) ** 2,
+                              -0.5 * (samples - 2) ** 2) \
+            - 0.5 * jnp.log(2 * jnp.pi) - jnp.log(2.0)
+        lw = log_p - log_q
+        return (all_bounds(lw, samples),
+                all_bounds(lw, samples, q_var=q_var, log_norm_bound=0),
+                all_bounds(lw, moment_bound_fn=mb, q_var=q_var))
+
+    t0 = time.perf_counter()
+    runs = [one_seed(s) for s in range(seeds)]
+    refs = dict(
+        nm_samples_only=dict(W2=6.08, d2=0.768, mean_error=4.79),
+        nm_qvar_lnb=dict(W2=4.41, d2=0.277, mean_error=2.52),
+        # the corrected analytic-moment W2's reference is the notebook's
+        # own empirical estimate (its published 2.72 replicates a
+        # double-rooting bug; PARITY.md)
+        nm_analytic=dict(W2=6.08),
+    )
+    results = {}
+    for i, (name, ref) in enumerate(refs.items()):
+        cfg = dict(n_bound=n, seeds=seeds,
+                   backend=str(jax.devices()[0].platform))
+        for stat, rv in ref.items():
+            st = _stats([float(r[i][stat]) for r in runs])
+            cfg[stat] = st
+            cfg['reference_' + stat] = rv
+            z = (rv - st['mean']) / st['sd'] if st['sd'] > 0 else float(
+                'inf')
+            print('{:>16} {:>10}: {:.3g} +- {:.2g}  ref {:.3g} '
+                  '(z = {:+.1f})'.format(name, stat, st['mean'], st['sd'],
+                                         rv, z), flush=True)
+        results[name] = cfg
+    print('normal-mixture noise campaign: {:.1f}s'.format(
+        time.perf_counter() - t0))
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'KHAT_NOISE.json')
+    data = dict(meta=dict(seeds=seeds, quick=quick,
+                          backend=str(jax.devices()[0].platform),
+                          dtype=str(jnp.result_type(float))),
+                configs={})
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            data = json.load(f)
+    data['configs'].update(results)
+    with open(out_path, 'w') as f:
+        json.dump(data, f, indent=1)
+    print('merged into', out_path)
+    return results
+
+
 def main(seeds=16, quick=False, cpu=False):
     if cpu:
         jax.config.update('jax_platforms', 'cpu')
@@ -165,5 +256,11 @@ if __name__ == '__main__':
     p.add_argument('--seeds', type=int, default=16)
     p.add_argument('--quick', action='store_true')
     p.add_argument('--cpu', action='store_true')
+    p.add_argument('--nm-only', action='store_true',
+                   help='run only the normal-mixture bounds-only noise '
+                        'campaign and merge it into KHAT_NOISE.json')
     a = p.parse_args()
-    main(a.seeds, a.quick, a.cpu)
+    if a.nm_only:
+        nm_noise(a.seeds, a.quick, a.cpu)
+    else:
+        main(a.seeds, a.quick, a.cpu)

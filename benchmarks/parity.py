@@ -46,12 +46,16 @@ def _load_noise():
 
 def _noise_col(noise, key, stat='khat'):
     """'mean +- sd (z)' acceptance band for a RESULTS.md row, where z is
-    the reference value's distance from the seed distribution in sds."""
+    the reference value's distance from the seed distribution in sds.
+    Per-stat references come from ``reference_<stat>`` entries (the
+    normal-mixture campaign); khat rows use the config-level
+    ``reference``."""
     cfg = noise.get('configs', {}).get(key)
-    if cfg is None:
+    if cfg is None or stat not in cfg:
         return '—'
     s = cfg[stat]
-    ref = cfg['reference'] if stat == 'khat' else None
+    ref = (cfg.get('reference') if stat == 'khat'
+           else cfg.get('reference_' + stat))
     band = '{} ± {}'.format(fmt(s['mean']), fmt(s['sd'], 2))
     if ref is not None and s['sd'] > 0:
         band += ' (ref z = {:+.1f})'.format((ref - s['mean']) / s['sd'])
@@ -97,7 +101,15 @@ def _render(here, noise, rows=None):
                     'within that distribution.  |z| <~ 2 means the '
                     'reference\'s single notebook value is within seed '
                     'noise of ours; larger |z| indicates a systematic '
-                    'difference (analyzed in KHAT_NOISE.md).\n\n'.format(
+                    'difference (analyzed in KHAT_NOISE.md).  '
+                    'Normal-mixture bands come from the bounds-only '
+                    'campaign (`khat_noise.py --nm-only`: no optimizer, '
+                    'pure MC noise of the bound estimators).  A “—” band '
+                    'marks the one machinery-parity row that feeds the '
+                    'reference\'s own buggy (double-rooted) input to '
+                    'reproduce its published value — an acceptance band '
+                    'around a bug replication has no meaning '
+                    '(PARITY.md).\n\n'.format(
                         noise['meta']['seeds'], noise['meta']['backend'],
                         noise['meta']['dtype']))
         cols = [rec['column'] for rec in recorded]
@@ -132,6 +144,22 @@ NOISE_KEY = {
     'eight-schools CP CHIVI khat': ('es_cp_chivi', 'khat'),
     'eight-schools NCP KLVI khat': ('es_ncp_klvi', 'khat'),
     'eight-schools NCP CHIVI khat': ('es_ncp_chivi', 'khat'),
+    # bounds-only rows (khat_noise.py --nm-only): pure MC noise of the
+    # bound estimators, no optimizer involved
+    'normal-mixture samples-only W2': ('nm_samples_only', 'W2'),
+    'normal-mixture samples-only d2': ('nm_samples_only', 'd2'),
+    'normal-mixture samples-only mean_error': ('nm_samples_only',
+                                               'mean_error'),
+    'normal-mixture q_var+log_norm W2': ('nm_qvar_lnb', 'W2'),
+    'normal-mixture q_var+log_norm d2': ('nm_qvar_lnb', 'd2'),
+    'normal-mixture q_var+log_norm mean_error': ('nm_qvar_lnb',
+                                                 'mean_error'),
+    'normal-mixture analytic-moment (corrected) W2': ('nm_analytic', 'W2'),
+    # 'normal-mixture analytic-moment (ref rooted input) W2' stays
+    # band-less by design: it is a machinery-parity row that feeds the
+    # reference notebook's own double-rooted (buggy) input to reproduce
+    # its published 2.72 (PARITY.md) — a seed band around a
+    # bug-replication has no acceptance meaning.
 }
 
 

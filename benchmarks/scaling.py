@@ -90,6 +90,49 @@ def _collective_accounting(n, d, n_dev, tail_len):
                 predicted_collective_fraction=t_coll / (t_local + t_coll))
 
 
+def _collective_accounting_2d(n, d, n_starts, c, s, tail_len, pack_len,
+                              t_opt_s, t_bound_s):
+    """Static accounting for the 2-D fused multistart program
+    (`pipeline._multistart_sharded2d`): K starts partitioned over C chain
+    groups x per-start bounds sharded over S sample shards (N = C*S chips).
+
+    Traffic per device per program:
+
+    * optimizer stage — REPLICATED along the sample axis: zero collective
+      bytes, but each of the S sample-axis members recomputes its chain
+      row's K/C optimizer scans (duplicated compute, modeled below as the
+      Amdahl term: the optimizer's wall-clock does not shrink with S);
+    * bound stage — per start, the same stat psums + S*(tail_len+1) tail
+      gather as the 1-D pass, times the K/C local starts;
+    * epilogue — the host_pack all_gather over the chain axis
+      ((K/C) * pack_len floats sent, K * pack_len received per device).
+
+    Efficiency model (vs K sequential single-chip pipelines on N chips):
+
+        eff(C, S) = (t_opt + t_bound) / (S*t_opt + t_bound + S*t_coll)
+
+    with t_opt / t_bound the measured single-chip stage times (bench.py's
+    real-chip anchors) — the S*t_opt term is the replicated-optimizer
+    cost, the reason a chain-only placement (S=1) is optimal whenever
+    K >= N.
+    """
+    f = 4
+    k_local = n_starts // c
+    local_bytes = k_local * (n // s) * (d + 1) * f * 3
+    stat_scalars = (2 * 2 + 1) + (d + d * d)
+    per_start_coll = stat_scalars * f + s * (tail_len + 1) * f
+    pack_gather = k_local * pack_len * f * c  # all_gather over chain
+    coll_bytes = k_local * per_start_coll + pack_gather
+    hbm_bw, ici_bw = 8.1e11, 1.0e11
+    t_coll = coll_bytes / ici_bw * 2
+    eff = (t_opt_s + t_bound_s) / (s * t_opt_s + t_bound_s + s * t_coll)
+    return dict(n_starts=n_starts, chain=c, sample=s,
+                local_bytes=local_bytes, collective_bytes=coll_bytes,
+                predicted_collective_seconds=t_coll,
+                t_opt_s=t_opt_s, t_bound_s=t_bound_s,
+                predicted_efficiency_vs_linear=eff)
+
+
 def _tpu_anchor(args):
     """Tier 4: the fused sharded bound+PSIS pass on the real chip (1-device
     mesh) — the absolute samples/s anchor for the tier-3 projection.  Runs
@@ -135,6 +178,47 @@ def _tpu_anchor(args):
     return results
 
 
+def _accounting_2d(args):
+    """Tier 3b: static accounting for the 2-D fused multistart layout at
+    the flagship configuration (K=8 starts, n=2.5e6 bound samples, d=10),
+    swept over (C, S) placements.  `--t-opt`/`--t-bound` default to the
+    real-chip stage anchors bench.py records (10k-iteration KLVI scan and
+    2.5e6-sample bound+PSIS pass).  Merges into --json like --tpu-anchor."""
+    from viabel_tpu.bounds import _STAT_KEYS
+    from viabel_tpu.psis import _tail_len
+    d = 10  # eight-schools-cp (the flagship workload)
+    pack_len = len(_STAT_KEYS) + 3 + d * d
+    tail_len = _tail_len(args.n, 1.0)
+    rows = []
+    print('2-D multistart accounting: K={} starts, n={:.2g}, d={}, '
+          't_opt={:.3f}s, t_bound={:.3f}s'.format(
+              args.starts, float(args.n), d, args.t_opt, args.t_bound))
+    for c, s in [(8, 1), (8, 2), (8, 4), (4, 2), (2, 4), (4, 4), (2, 8)]:
+        if args.starts % c:
+            continue
+        row = _collective_accounting_2d(args.n, d, args.starts, c, s,
+                                        tail_len, pack_len, args.t_opt,
+                                        args.t_bound)
+        rows.append(row)
+        print('  (C={}, S={}) N={:2d} chips: collectives {:7.1f} kB '
+              '({:.2g} s) | predicted efficiency vs linear {:6.1%}'.format(
+                  c, s, c * s, row['collective_bytes'] / 1e3,
+                  row['predicted_collective_seconds'],
+                  row['predicted_efficiency_vs_linear']))
+    results = {}
+    if args.json and os.path.exists(args.json):
+        with open(args.json) as f:
+            results = json.load(f)
+    results.setdefault('tiers', {})['multistart2d_accounting'] = dict(
+        n=args.n, d=d, n_starts=args.starts, t_opt_s=args.t_opt,
+        t_bound_s=args.t_bound, placements=rows)
+    if args.json:
+        with open(args.json, 'w') as f:
+            json.dump(results, f, indent=1)
+        print('wrote', args.json)
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--devices', type=int, default=8)
@@ -144,9 +228,23 @@ def main():
     p.add_argument('--tpu-anchor', action='store_true',
                    help='record tier 4 on the real chip instead of the '
                             'virtual-pool tiers')
+    p.add_argument('--accounting-2d', action='store_true',
+                   help='record tier 3b: the static collective/efficiency '
+                        'accounting for the 2-D (chain x sample) fused '
+                        'multistart layout')
+    p.add_argument('--starts', type=int, default=8,
+                   help='K for the --accounting-2d sweep')
+    p.add_argument('--t-opt', type=float, default=0.064,
+                   help='measured single-chip optimizer-stage seconds '
+                        '(bench.py: 10k-iteration KLVI scan)')
+    p.add_argument('--t-bound', type=float, default=0.110,
+                   help='measured single-chip bound+PSIS pass seconds '
+                        '(bench.py: 2.5e6 samples)')
     p.add_argument('--json', help='write results to this path')
     args = p.parse_args()
 
+    if args.accounting_2d:
+        return _accounting_2d(args)
     if args.tpu_anchor:
         return _tpu_anchor(args)
 
