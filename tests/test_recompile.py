@@ -146,6 +146,32 @@ def test_validated_vi_multistart_repeated_calls_cached():
             key=k))
 
 
+def test_rebuilt_mesh_hits_the_jit_cache():
+    """serve's /fit and the CLI build a FRESH Mesh object per call; Mesh
+    hashing is content-based, so a rebuilt identical mesh must hit both
+    the lru_cache'd shard_map builders and the jitted pipeline programs.
+    If JAX ever switched Mesh to identity hashing, every /fit would
+    recompile its pipeline through the remote-compile tunnel (minutes per
+    call) — this pins the assumption."""
+    init = jnp.zeros(FAM.var_param_dim, dtype=jnp.float64)
+
+    def call(k, mesh=None):
+        if mesh is None:
+            mesh = make_mesh(axis_names=('chain', 'sample'), shape=(2, 4))
+        out = validated_vi_multistart(
+            MODEL.log_prob, FAM, init, 40, n_starts=2,
+            objective_and_grad=OBJ, n_bound_samples=8192, key=k, mesh=mesh)
+        jax.block_until_ready(out['opt_param'])
+
+    with count_compilations() as first:
+        call(jax.random.PRNGKey(0))
+    assert first[0] > 0
+    with count_compilations() as again:
+        call(jax.random.PRNGKey(1))  # fresh, equal mesh rebuilt inside
+    assert again[0] == 0, (
+        'a rebuilt identical mesh recompiled ({})'.format(again[0]))
+
+
 def test_public_count_compilations_utility():
     """The public observability helper detects both a fresh compile and a
     cached replay (viabel_tpu.utils.count_compilations)."""
