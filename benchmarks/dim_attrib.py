@@ -94,14 +94,18 @@ def main():
         dev, d, P, n_iters), flush=True)
     results = dict(device=str(dev), d=d, P=P, n_iters=n_iters)
 
-    # --- full step, the DIM_SCALING.md configuration (unroll=4) ---
-    def full_run(r, unroll=4):
+    # --- full step at unroll=1: the attribution baseline.  The component
+    # scans below are plain (unroll=1) scans, so the subtraction is only
+    # meaningful against the same-unroll full step; unroll>1 changes the
+    # objective's own speed (cross-iteration fusion) and is measured
+    # separately in the mitigation sweep. ---
+    def full_run(r, unroll=1):
         return adagrad_optimize(n_iters, obj, init,
                                 key=jax.random.PRNGKey(r),
                                 learning_rate=.05, learning_rate_end=.001,
                                 return_history=False, unroll=unroll)[0]
     t_full = _steady(full_run)
-    print('full step           : {:7.3f}s = {:6.0f} it/s'.format(
+    print('full step (unroll=1): {:7.3f}s = {:6.0f} it/s'.format(
         t_full, n_iters / t_full), flush=True)
 
     # --- device/wall split from a profiler trace of the same run ---
