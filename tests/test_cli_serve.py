@@ -499,6 +499,42 @@ def test_posterior_service_fit_uses_mesh(monkeypatch):
     assert np.isfinite(out1['bounds']['d2'])
 
 
+def test_posterior_service_bounds_uses_mesh(monkeypatch):
+    """/bounds on a multi-device host shards the MC pass over the sample
+    axis (the last mesh-blind endpoint after round 3's /fit fix) and
+    returns the same statistics the single-device path computes (same
+    estimator, different draw partitioning -> MC-level agreement)."""
+    import viabel_tpu.parallel as par
+    service = _make_service()
+    called = {}
+    real = par.sharded_all_bounds
+
+    def spy(*args, **kwargs):
+        called['mesh'] = args[5] if len(args) > 5 else kwargs.get('mesh')
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(par, 'sharded_all_bounds', spy)
+    out = service.bounds(65536)  # power-of-two bucket divides 8 devices
+    assert called['mesh'] is not None
+    assert np.isfinite(out['d2']) and np.isfinite(out['khat'])
+    assert {'W1', 'W2', 'mean_error', 'd2', 'khat'} <= set(out)
+
+    # single-device agreement at MC level: run the unsharded estimator on
+    # the same service state
+    from viabel_tpu.bounds import all_bounds, family_moment_bounds
+    var_param, _, cov = service._snapshot()
+    import jax
+    lw = service._lw(var_param, jax.random.PRNGKey(0), 65536)
+    ref = all_bounds(lw, q_var=cov,
+                     moment_bound_fn=family_moment_bounds(service.family,
+                                                          var_param))
+    # d2/W2 are tail-dominated and can swing by factors between draw
+    # schemes (the test_multistart_2d_mesh lesson); the log-normalizer
+    # bound is the concentrated statistic
+    assert out['log_norm_bound'] == pytest.approx(
+        float(ref['log_norm_bound']), rel=0.05, abs=0.05)
+
+
 def test_cli_run_batched_input_validation():
     """Review findings: --starts <= 0 must exit cleanly (not crash in
     MLIR / silently run single-start), and --sweep-lr-end must match the

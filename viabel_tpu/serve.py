@@ -140,6 +140,23 @@ class PosteriorService:
         var_param, _, cov = self._snapshot()
         # rounding the MC size up to a bucket only tightens the estimates
         n = min(self._bucket(n), self.max_bound_samples)
+        mesh = self._fit_mesh(1, n)
+        if mesh is not None:
+            # multi-device host: the MC pass shards over the sample axis
+            # (each device draws/scores its own shard; psum'd statistics,
+            # tail-only PSIS gather) — the same program `validated_vi`'s
+            # sharded bound stage runs; builders are cached per
+            # (model, family, mesh, n), so repeated /bounds hit the
+            # executable cache
+            from .parallel import psislw_sharded, sharded_all_bounds
+            res, lw_dev = sharded_all_bounds(
+                self.model.log_prob, self.family, var_param, n,
+                self._next_key(), mesh, q_var=cov,
+                moment_bound_fn=family_moment_bounds(self.family,
+                                                     var_param),
+                return_log_weights=True)
+            res['khat'] = psislw_sharded(lw_dev, mesh)[1]
+            return {k: float(v) for k, v in res.items()}
         lw_dev = self._lw(var_param, self._next_key(), n)
         res = all_bounds(lw_dev, q_var=cov,
                          moment_bound_fn=family_moment_bounds(self.family,
