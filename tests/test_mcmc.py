@@ -35,6 +35,34 @@ def test_hmc_matches_conjugate_posterior():
     assert diag['r_hat'].max() < 1.01
 
 
+def test_hmc_mesh_chains():
+    """HMC chains placed on a mesh: deterministic per layout (same mesh ->
+    identical draws), statistically equivalent to the unsharded run (the
+    Metropolis test amplifies partitioning's ulp-level fusion differences
+    into different — equally valid — chain paths, so bitwise equality
+    across layouts is not the contract; see hmc_sample's docstring)."""
+    from viabel_tpu.parallel import make_mesh
+    model = _conjugate_model()
+    kw = dict(key=jax.random.PRNGKey(3), n_samples=1500, n_warmup=300,
+              n_chains=8)
+    plain = hmc_sample(model.log_prob, np.zeros(model.dim), **kw)
+    mesh = make_mesh(axis_names=('chain',), shape=(8,))
+    sharded = hmc_sample(model.log_prob, np.zeros(model.dim), mesh=mesh,
+                         **kw)
+    # reproducible for a fixed layout
+    again = hmc_sample(model.log_prob, np.zeros(model.dim), mesh=mesh,
+                       **kw)
+    np.testing.assert_array_equal(sharded['samples'], again['samples'])
+    # same stationary distribution: pooled moments agree at MC error, and
+    # both runs pass the conjugate oracle
+    np.testing.assert_allclose(sharded['mean'], plain['mean'], atol=0.02)
+    np.testing.assert_allclose(sharded['mean'], model.true_mean, atol=0.03)
+    assert sharded['r_hat'].max() < 1.05
+    with pytest.raises(ValueError, match='divide n_chains'):
+        hmc_sample(model.log_prob, np.zeros(model.dim), mesh=mesh,
+                   n_chains=6)
+
+
 @pytest.mark.slow
 def test_hmc_confirms_robust_regression_notebook_truth():
     """The stored notebook-NUTS moments (models/regression.py) are

@@ -132,7 +132,7 @@ def _hmc_phase(log_prob_fn, n_iters, max_steps, adapt, target_accept,
 
 def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
                n_chains=4, max_steps=32, target_accept=0.8,
-               init_jitter=1.0, eps0=0.1):
+               init_jitter=1.0, eps0=0.1, mesh=None):
     """Adaptive-HMC posterior draws.
 
     Parameters
@@ -147,6 +147,17 @@ def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
         Sampler configuration.  Warmup runs in two halves: step-size dual
         averaging under a unit mass, then mass estimation (pooled across
         chains from the first half's second-half draws) and re-adaptation.
+    mesh : optional jax.sharding.Mesh
+        Place the chain axis on the mesh's ``chain`` axis — N chains on N
+        devices run in one chain's wall-clock, the same GSPMD placement
+        the IA optimizers use (`parallel.shard_chain_inputs`).  ``chain``
+        must divide `n_chains`.  Unlike the smooth optimizers, sharded
+        runs are NOT bit-identical to unsharded ones: partitioning changes
+        XLA's batching/fusion by an ulp, and the Metropolis accept/reject
+        amplifies any ulp into a different chain path.  Each layout is
+        individually deterministic (same mesh -> same draws), both target
+        the same stationary distribution, and the R-hat gate in
+        `hmc_ground_truth` applies either way.
 
     Returns
     -------
@@ -163,6 +174,21 @@ def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
     except TypeError:  # unhashable callable
         lp1 = lambda q: jnp.reshape(log_prob(q), ())
 
+    if mesh is not None and n_chains % mesh.shape['chain']:
+        raise ValueError('the mesh chain axis size ({}) must divide '
+                         'n_chains ({})'.format(mesh.shape['chain'],
+                                                n_chains))
+
+    def place(q, keys, eps):
+        """Chain-axis placement (no-op without a mesh): re-applied per
+        phase because fresh per-phase keys arrive unplaced."""
+        if mesh is None:
+            return q, keys, eps
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.sharded_chains import shard_chain_inputs
+        q, keys = shard_chain_inputs(q, keys, mesh)
+        return q, keys, jax.device_put(eps, NamedSharding(mesh, P('chain')))
+
     k_init, k_w1, k_w2, k_samp = jax.random.split(key, 4)
     q0 = init[None, :] + init_jitter * jax.random.normal(
         k_init, (n_chains, d), dtype=init.dtype)
@@ -171,7 +197,8 @@ def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
 
     # warmup I: adapt step size under unit mass
     n_w1 = max(n_warmup // 2, 20)
-    chain_keys = jax.random.split(k_w1, n_chains)
+    q0, chain_keys, eps_init = place(q0, jax.random.split(k_w1, n_chains),
+                                     eps_init)
     qs, q1, eps1, _ = _hmc_phase(lp1, n_w1, max_steps, True, target_accept,
                                  q0, chain_keys, eps_init, unit_mass)
     # pooled diagonal preconditioner from the second half of warmup-I
@@ -183,25 +210,28 @@ def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
 
     # warmup II: re-adapt step size under the estimated mass
     n_w2 = max(n_warmup - n_w1, 20)
-    chain_keys = jax.random.split(k_w2, n_chains)
+    q1, chain_keys, eps1 = place(q1, jax.random.split(k_w2, n_chains), eps1)
     _, q2, eps2, _ = _hmc_phase(lp1, n_w2, max_steps, True, target_accept,
                                 q1, chain_keys, eps1, inv_mass)
 
     # sampling at fixed step size
-    chain_keys = jax.random.split(k_samp, n_chains)
+    q2, chain_keys, eps2 = place(q2, jax.random.split(k_samp, n_chains),
+                                 eps2)
     samples, _, _, accept = _hmc_phase(lp1, n_samples, max_steps, False,
                                        target_accept, q2, chain_keys, eps2,
                                        inv_mass)
 
-    flat = np.asarray(samples.reshape(-1, d))
+    from .parallel import fetch_global
+    samples = fetch_global(samples)  # multi-controller-safe host fetch
+    flat = samples.reshape(-1, d)
     from .diagnostics import compute_R_hat
-    _, r_hat = compute_R_hat(np.asarray(samples), warmup=0)
-    return dict(samples=np.asarray(samples),
+    _, r_hat = compute_R_hat(samples, warmup=0)
+    return dict(samples=samples,
                 mean=flat.mean(axis=0),
                 cov=np.cov(flat.T),
                 r_hat=np.asarray(r_hat),
-                accept_rate=float(jnp.mean(accept)),
-                step_size=np.asarray(eps2),
+                accept_rate=float(jnp.mean(fetch_global(accept))),
+                step_size=fetch_global(eps2),
                 inv_mass=np.asarray(inv_mass))
 
 
