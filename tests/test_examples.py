@@ -125,3 +125,12 @@ def test_linear_regression_ia_protocol2(capsys):
     out = capsys.readouterr().out
     assert 'klvi_pd2' in out and 'rmsprop' in out and 'adam' in out
     assert 'cov dist' in out
+
+
+def test_pod_layout_example(capsys):
+    from examples import pod_layout
+    pod_layout.main(['--quick'])
+    out = capsys.readouterr().out
+    assert '8-way sharded bound pass' in out
+    assert '(2x4) mesh, 4 starts in one program' in out
+    assert 'fetch_global -> host' in out
