@@ -17,7 +17,11 @@ explicit vector), compile the samplers once, and serve
   and returns its validated bounds + khat
 
 Built on the stdlib ``http.server`` (no extra dependencies); requests are
-served from a single compiled JAX program per endpoint.  Start with::
+served from a single compiled JAX program per endpoint.  On a multi-device
+host the service exploits every attached device: ``/fit`` places K starts
+on a ``(gcd(K, N), N/gcd)`` (chain, sample) mesh and ``/bounds`` shards
+its Monte Carlo pass over the sample axis (`PosteriorService._fit_mesh`;
+indivisible sizes fall back to single-device).  Start with::
 
     python -m viabel_tpu.serve --config cfg.json --param ckpt.npz --port 8080
 """
