@@ -130,6 +130,33 @@ def _multistart2d_case(jax, jnp, np, mesh_axes):
         psis_mean=fetch_global(out['psis_mean']).tolist())
 
 
+def _sweep2d_case(jax, jnp, np, mesh_axes):
+    """The 2-D fused learning-rate sweep across the process boundary:
+    rates over `chain` x per-rate bounds over `sample` on a 2x2 mesh."""
+    from viabel_tpu import (black_box_klvi, init_from_moments,
+                            mean_field_t_variational_family,
+                            validated_vi_sweep)
+    from viabel_tpu.models import eight_schools_ncp_model
+    from viabel_tpu.parallel import fetch_global, make_mesh
+    model = eight_schools_ncp_model()
+    fam = mean_field_t_variational_family(model.dim, 40)
+    obj = black_box_klvi(fam, model.log_prob, 16)
+    init = init_from_moments(fam, model.true_mean,
+                             model.true_cov).astype(jnp.float64)
+    mesh = make_mesh(axis_names=('chain', 'sample'), shape=(2, 2))
+    out = validated_vi_sweep(
+        model.log_prob, fam, init, 100, learning_rates=[0.005, 0.02],
+        objective_and_grad=obj, n_bound_samples=8000,
+        key=jax.random.PRNGKey(6), mesh=mesh)
+    spec = tuple(out['log_weights'].sharding.spec)
+    assert spec == ('chain', 'sample'), spec
+    return dict(
+        best=int(out['best']),
+        d2=[float(b['d2']) for b in out['bounds']],
+        khat=[float(k) for k in out['khat']],
+        opt_param=fetch_global(out['opt_param']).tolist())
+
+
 def _ia_chains_case(jax, jnp, np, mesh_axes):
     """The production chains runner with the chain axis crossing the
     process boundary; every rank must report the identical R-hat log and
@@ -159,7 +186,7 @@ def _ia_chains_case(jax, jnp, np, mesh_axes):
 
 _CASES = dict(bounds=_bounds_case, fullrank=_fullrank_case,
               psisloo=_psisloo_case, multistart2d=_multistart2d_case,
-              ia_chains=_ia_chains_case)
+              sweep2d=_sweep2d_case, ia_chains=_ia_chains_case)
 
 
 def main():

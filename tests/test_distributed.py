@@ -192,6 +192,39 @@ def test_two_process_multistart2d_matches_single_process():
 
 
 @pytest.mark.slow
+def test_two_process_sweep2d_matches_single_process():
+    """The 2-D fused learning-rate sweep (rates over `chain` x per-rate
+    bounds over `sample`) across a real process boundary — the sweep
+    shares `_one_sharded_run` with the multistart, and this pins that the
+    traced-rate variant crosses the boundary identically."""
+    outs = _run_two_process('sweep2d')
+    _assert_ranks_agree(outs, ('best', 'd2', 'khat', 'opt_param'))
+
+    import jax.numpy as jnp
+    from viabel_tpu import (black_box_klvi, init_from_moments,
+                            mean_field_t_variational_family,
+                            validated_vi_sweep)
+    from viabel_tpu.models import eight_schools_ncp_model
+    from viabel_tpu.parallel import make_mesh
+    model = eight_schools_ncp_model()
+    fam = mean_field_t_variational_family(model.dim, 40)
+    obj = black_box_klvi(fam, model.log_prob, 16)
+    init = init_from_moments(fam, model.true_mean,
+                             model.true_cov).astype(jnp.float64)
+    mesh = make_mesh(axis_names=('chain', 'sample'), shape=(2, 2),
+                     devices=jax.devices()[:4])
+    ref = validated_vi_sweep(
+        model.log_prob, fam, init, 100, learning_rates=[0.005, 0.02],
+        objective_and_grad=obj, n_bound_samples=8000,
+        key=jax.random.PRNGKey(6), mesh=mesh)
+    assert outs[0]['best'] == ref['best']
+    np.testing.assert_allclose(outs[0]['d2'],
+                               [b['d2'] for b in ref['bounds']], rtol=1e-12)
+    np.testing.assert_allclose(outs[0]['opt_param'],
+                               np.asarray(ref['opt_param']), rtol=1e-12)
+
+
+@pytest.mark.slow
 def test_two_process_ia_chains_match_single_process():
     """`rmsprop_IA_optimize_with_rhat(mesh=)` with the chain axis crossing
     the process boundary (round-3 review item 1): identical chains,
