@@ -63,6 +63,10 @@ def test_cli_run_smoke(capsys):
     assert 'posterior mean estimate' in out
     assert 'khat' in out
     assert '"presampled": true' in out
+    # 5000 divides over the 8-device test pool: the plain run's bound
+    # stage must shard over the sample axis too (the last mesh-blind CLI
+    # path after the round-4 --fused fix)
+    assert 'mesh: 8 devices on the sample axis (bound stage)' in out
 
 
 def test_cli_run_no_presampled(capsys):

@@ -152,16 +152,40 @@ def _cmd_run(args):
                               model.true_cov, verbose=True)
 
     if cfg.bound_samples:
-        _, lw = get_samples_and_log_weights(
-            model.log_prob, family, opt_param, cfg.bound_samples, bound_key)
-        # lw stays on device: all_bounds' statistics pass is a fused device
-        # reduction and a bulk host fetch through the tunnel is expensive
-        res = all_bounds(lw,
-                         q_var=np.asarray(cov),
-                         moment_bound_fn=family_moment_bounds(family,
-                                                              opt_param))
+        n_dev = len(jax.devices())
+        if n_dev > 1 and cfg.bound_samples % n_dev == 0:
+            # multi-device host: shard the MC bound pass over the sample
+            # axis (each device draws/scores its shard; psum'd statistics,
+            # tail-only PSIS gather)
+            from .parallel import (make_mesh, psislw_sharded,
+                                   sharded_all_bounds)
+            mesh = make_mesh(axis_names=('sample',), shape=(n_dev,))
+            print('mesh: {} devices on the sample axis (bound '
+                  'stage)'.format(n_dev))
+            res, lw = sharded_all_bounds(
+                model.log_prob, family, opt_param, cfg.bound_samples,
+                bound_key, mesh, q_var=np.asarray(cov),
+                moment_bound_fn=family_moment_bounds(family, opt_param),
+                return_log_weights=True)
+            khat = psislw_sharded(lw, mesh)[1]
+        else:
+            if n_dev > 1:
+                print('note: --bound-samples {} does not divide over the '
+                      '{} attached devices; running the bound stage '
+                      'single-device (pick a multiple of {})'.format(
+                          cfg.bound_samples, n_dev, n_dev))
+            _, lw = get_samples_and_log_weights(
+                model.log_prob, family, opt_param, cfg.bound_samples,
+                bound_key)
+            # lw stays on device: all_bounds' statistics pass is a fused
+            # device reduction and a bulk host fetch through the tunnel is
+            # expensive
+            res = all_bounds(lw,
+                             q_var=np.asarray(cov),
+                             moment_bound_fn=family_moment_bounds(
+                                 family, opt_param))
+            khat = psislw(lw)[1]
         print_bounds(res)
-        _, khat = psislw(lw)
         print('khat = {:.3f}{}'.format(
             float(khat), '  (> 0.7: unreliable)' if khat > 0.7 else ''))
 
