@@ -101,6 +101,18 @@ def main():
                 'All KLVI/CHIVI configs use pre-sampled draws '
                 '(bit-identical to key-threaded runs).\n\n'
                 .format(jax.devices()))
+        f.write('**Measurement variance**: every wall-clock here includes '
+                'the tunnel\'s *session-dependent* dispatch-latency floor '
+                '(CLAUDE.md: ~0.1–35 ms per dispatch depending on the '
+                'session).  Identical code measured the headline KLVI '
+                'config at 8.45M evals/s in one session (BENCH_r02) and '
+                '7.85M in another (BENCH_r03) — a −7 % swing '
+                'with zero code change.  bench.py re-measures the headline '
+                'executable a second time in the same session and reports '
+                'the within-session spread (`within_session_spread_pct`); '
+                'treat round-over-round deltas within that spread plus '
+                '~7 % as session noise, and only larger or persistent '
+                'moves as regressions.\n\n')
         f.write('| Workload / config | viabel_tpu (it/s) | reference (it/s)'
                 ' | speedup |\n|---|---|---|---|\n')
         for name, it_s, ref, speedup in rows:
