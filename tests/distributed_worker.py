@@ -20,6 +20,8 @@ Modes (argv[4], default ``bounds``):
   mesh across the 2 processes runs `validated_vi_multistart(mesh=)`
   with starts partitioned over `chain` AND per-start bounds sharded over
   `sample` in ONE fused program (round-3 review item 1).
+* ``sweep2d`` — the same 2-D layout for `validated_vi_sweep(mesh=)`
+  (rates over `chain` x per-rate bounds over `sample`).
 * ``ia_chains`` — `rmsprop_IA_optimize_with_rhat(mesh=)`: the production
   chains runner with the chain axis spanning the process boundary
   (round-3 review item 1).

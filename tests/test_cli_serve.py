@@ -97,7 +97,8 @@ def test_cli_run_fused_notes_indivisible_bound_samples(capsys):
     main(['run', '--model', 'funnel', '--n-iters', '100', '--n-mc', '10',
           '--bound-samples', '900', '--fused'])
     out = capsys.readouterr().out
-    assert 'does not divide over the 8 attached devices' in out
+    assert 'note: 900 bound samples do not divide over the 8 attached ' \
+           'devices' in out
     assert 'khat' in out
 
 
@@ -388,10 +389,10 @@ def test_cli_run_multistart(capsys):
     assert 'start 0 (unperturbed)' in out
     assert 'best by validated d2 bound' in out
     assert 'khat =' in out
-    # 4 starts on the 8-device test pool do not divide: the CLI must say so
-    # (round-3 review: silently skipping attached devices), not just run
-    # single-device
-    assert 'does not divide over the 8 attached devices' in out
+    # 4 starts on the 8-device test pool: the shared auto_mesh rule places
+    # them on a (4, 2) (chain, sample) mesh — the round-4 review closed
+    # the gap where the CLI ran this single-device while serve partitioned
+    assert 'mesh: (4x2) (chain, sample) mesh' in out
 
 
 def test_cli_run_multistart_uses_mesh_when_divisible(capsys):
@@ -404,6 +405,19 @@ def test_cli_run_multistart_uses_mesh_when_divisible(capsys):
     assert 'best by validated d2 bound' in out
 
 
+def test_cli_run_multistart_no_common_factor_says_so(capsys):
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--n-iters', '100', '--n-mc', '10',
+          '--bound-samples', '4000', '--starts', '3',
+          '--perturb-scale', '0.1'])
+    out = capsys.readouterr().out
+    # gcd(3, 8) == 1: no placement exists; the CLI must say so, never
+    # silently run single-device
+    assert 'note: 3 runs share no common factor with the 8 attached ' \
+           'devices' in out
+    assert 'best by validated d2 bound' in out
+
+
 def test_cli_run_sweep(capsys):
     from viabel_tpu.__main__ import main
     main(['run', '--model', 'funnel', '--n-iters', '200', '--n-mc', '10',
@@ -411,8 +425,9 @@ def test_cli_run_sweep(capsys):
     out = capsys.readouterr().out
     assert 'lr 0.1' in out and 'lr 0.01' in out
     assert 'best by validated d2 bound' in out
-    # 2 rates on the 8-device test pool do not divide: the CLI must say so
-    assert 'do not divide over the 8 attached devices' in out
+    # 2 rates on the 8-device test pool take a (2, 4) (chain, sample)
+    # mesh via the shared auto_mesh rule
+    assert 'mesh: (2x4) (chain, sample) mesh' in out
 
 
 def test_cli_run_sweep_uses_mesh_when_divisible(capsys):
@@ -421,7 +436,7 @@ def test_cli_run_sweep_uses_mesh_when_divisible(capsys):
           '--bound-samples', '4000', '--sweep-lr',
           '0.1,0.07,0.05,0.03,0.02,0.01,0.007,0.005'])
     out = capsys.readouterr().out
-    assert 'mesh: 8 devices on the chain (rate) axis' in out
+    assert 'mesh: 8 devices on the chain axis (rate axis)' in out
     assert 'best by validated d2 bound' in out
 
 

@@ -188,6 +188,37 @@ def test_adagrad_resumable_no_history_large_p(tmp_path, monkeypatch):
                                   np.asarray(full[2]))
 
 
+def test_adagrad_resumable_wrong_mode_names_the_flag(tmp_path):
+    """Round-4 review: resuming a checkpoint in the other return_history
+    mode must name the mode flag, not surface a baffling shape mismatch
+    blaming n_iters/window."""
+    import viabel_tpu.checkpoint as ckpt
+    fam = mean_field_gaussian_variational_family(1)
+    log_density = _gaussian_target(jnp.asarray([0.5]), jnp.asarray([0.0]))
+    obj = black_box_klvi(fam, log_density, 20)
+    init = jnp.zeros(2, dtype=jnp.float64)
+    path = str(tmp_path / 'mode.npz')
+    ckpt.adagrad_optimize_resumable(100, obj, init, checkpoint_path=path,
+                                    key=jax.random.PRNGKey(0),
+                                    save_every=50)
+    with pytest.raises(ValueError, match='return_history=True.*'
+                                         'return_history=False'):
+        ckpt.adagrad_optimize_resumable(100, obj, init,
+                                        checkpoint_path=path,
+                                        key=jax.random.PRNGKey(0),
+                                        save_every=50,
+                                        return_history=False)
+    path2 = str(tmp_path / 'mode2.npz')
+    ckpt.adagrad_optimize_resumable(100, obj, init, checkpoint_path=path2,
+                                    key=jax.random.PRNGKey(0),
+                                    save_every=50, return_history=False)
+    with pytest.raises(ValueError, match='return_history=False'):
+        ckpt.adagrad_optimize_resumable(100, obj, init,
+                                        checkpoint_path=path2,
+                                        key=jax.random.PRNGKey(0),
+                                        save_every=50)
+
+
 def test_throughput_meter():
     from viabel_tpu.utils import ThroughputMeter
     meter = ThroughputMeter(reps=2)

@@ -290,3 +290,68 @@ def test_shard_chain_inputs_accepts_typed_keys(chain_mesh):
         s_inits, s_keys = shard_chain_inputs(inits, keys, chain_mesh)
         assert s_inits.shape == inits.shape
         assert s_keys.shape == keys.shape
+
+
+def test_auto_mesh_placement_rules():
+    """The shared CLI/serve placement rule (round-4 review: the two had
+    diverged): K runs take a (gcd(K, N), N/gcd) mesh, a single run takes
+    the full sample mesh, indivisible sizes fall back to None WITH a
+    reason string — attached devices are never skipped silently."""
+    from viabel_tpu.parallel import auto_mesh
+
+    mesh, note = auto_mesh(1, 4096)
+    assert mesh.axis_names == ('sample',) and mesh.devices.shape == (8,)
+    assert 'sample axis' in note
+
+    mesh, note = auto_mesh(4, 4096)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == dict(
+        chain=4, sample=2)
+    assert '(4x2)' in note
+
+    mesh, note = auto_mesh(8, 4096)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == dict(
+        chain=8, sample=1)
+    assert 'chain axis' in note
+
+    # fallbacks carry the reason
+    mesh, note = auto_mesh(3, 4096)
+    assert mesh is None and 'no common factor' in note
+    mesh, note = auto_mesh(1, 4097)
+    assert mesh is None and 'do not divide' in note
+    mesh, note = auto_mesh(4, 4097)  # sample axis would be 2; 4097 is odd
+    assert mesh is None and 'do not divide' in note
+
+    # single device: nothing to place, nothing to report
+    mesh, note = auto_mesh(4, 4096, devices=jax.devices()[:1])
+    assert mesh is None and note is None
+
+
+def test_mesh_entry_points_reject_missing_axes():
+    """Round-4 review: a mesh without the expected axis name must raise an
+    informative ValueError, not a bare KeyError, at every mesh-taking
+    entry point."""
+    import jax.numpy as jnp
+
+    from viabel_tpu import (validated_vi, validated_vi_multistart,
+                            validated_vi_sweep)
+    from viabel_tpu.mcmc import hmc_sample
+    from viabel_tpu.models import funnel_model
+    from viabel_tpu import mean_field_gaussian_variational_family
+
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    sample_only = make_mesh(axis_names=('sample',), shape=(8,))
+    chain_only = make_mesh(axis_names=('chain',), shape=(8,))
+
+    with pytest.raises(ValueError, match="axis named 'sample'.*'chain'"):
+        validated_vi(model.log_prob, fam, init, 50, mesh=chain_only)
+    with pytest.raises(ValueError, match="axis named 'chain'"):
+        validated_vi_multistart(model.log_prob, fam, init, 50, n_starts=2,
+                                mesh=sample_only)
+    with pytest.raises(ValueError, match="axis named 'chain'"):
+        validated_vi_sweep(model.log_prob, fam, init, 50,
+                           learning_rates=[0.01, 0.02], mesh=sample_only)
+    with pytest.raises(ValueError, match="axis named 'chain'"):
+        hmc_sample(model.log_prob, jnp.zeros(model.dim), mesh=sample_only,
+                   n_samples=10, n_warmup=10)

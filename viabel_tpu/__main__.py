@@ -21,6 +21,14 @@ import sys
 import numpy as np
 
 
+def _report_mesh(mesh, note, context=''):
+    """Surface `parallel.auto_mesh`'s placement decision (or the reason
+    for a single-device fallback) — attached devices are never skipped
+    silently."""
+    if note:
+        print(('mesh: ' if mesh is not None else 'note: ') + note + context)
+
+
 def _cmd_run(args):
     import jax
     import jax.numpy as jnp
@@ -67,21 +75,12 @@ def _cmd_run(args):
                      'fused program is a single device call; use the '
                      'non-fused path for resumable runs)')
         from .pipeline import validated_vi
-        mesh = None
-        n_dev = len(jax.devices())
-        if n_dev > 1:
-            if cfg.bound_samples % n_dev == 0:
-                # shard the fused program's bound/PSIS stage over all
-                # attached devices (the optimizer scan replicates; samples
-                # and log-weights never leave their device)
-                from .parallel import make_mesh
-                mesh = make_mesh(axis_names=('sample',), shape=(n_dev,))
-                print('mesh: {} devices on the sample axis'.format(n_dev))
-            else:
-                print('note: --bound-samples {} does not divide over the '
-                      '{} attached devices; running the bound stage '
-                      'single-device (pick a multiple of {})'.format(
-                          cfg.bound_samples, n_dev, n_dev))
+        from .parallel import auto_mesh
+        # shard the fused program's bound/PSIS stage over all attached
+        # devices (the optimizer scan replicates; samples and log-weights
+        # never leave their device)
+        mesh, note = auto_mesh(1, cfg.bound_samples)
+        _report_mesh(mesh, note)
         out = validated_vi(
             model.log_prob, family, init, cfg.n_iters,
             objective_and_grad=objective,
@@ -152,16 +151,14 @@ def _cmd_run(args):
                               model.true_cov, verbose=True)
 
     if cfg.bound_samples:
-        n_dev = len(jax.devices())
-        if n_dev > 1 and cfg.bound_samples % n_dev == 0:
+        from .parallel import auto_mesh
+        mesh, note = auto_mesh(1, cfg.bound_samples)
+        _report_mesh(mesh, note, ' (bound stage)')
+        if mesh is not None:
             # multi-device host: shard the MC bound pass over the sample
             # axis (each device draws/scores its shard; psum'd statistics,
             # tail-only PSIS gather)
-            from .parallel import (make_mesh, psislw_sharded,
-                                   sharded_all_bounds)
-            mesh = make_mesh(axis_names=('sample',), shape=(n_dev,))
-            print('mesh: {} devices on the sample axis (bound '
-                  'stage)'.format(n_dev))
+            from .parallel import psislw_sharded, sharded_all_bounds
             res, lw = sharded_all_bounds(
                 model.log_prob, family, opt_param, cfg.bound_samples,
                 bound_key, mesh, q_var=np.asarray(cov),
@@ -169,11 +166,6 @@ def _cmd_run(args):
                 return_log_weights=True)
             khat = psislw_sharded(lw, mesh)[1]
         else:
-            if n_dev > 1:
-                print('note: --bound-samples {} does not divide over the '
-                      '{} attached devices; running the bound stage '
-                      'single-device (pick a multiple of {})'.format(
-                          cfg.bound_samples, n_dev, n_dev))
             _, lw = get_samples_and_log_weights(
                 model.log_prob, family, opt_param, cfg.bound_samples,
                 bound_key)
@@ -227,23 +219,13 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
 
     if n_starts:
         from .pipeline import validated_vi_multistart
-        mesh = None
-        n_dev = len(jax.devices())
-        if n_dev > 1:
-            if n_starts % n_dev == 0:
-                # partition the start axis over all attached devices
-                from .parallel import make_mesh
-                mesh = make_mesh(axis_names=('chain',), shape=(n_dev,))
-                print('mesh: {} devices on the chain axis'.format(n_dev))
-            else:
-                # never skip attached devices silently: the user asked for
-                # K starts on an N-device host and should know why they run
-                # on one device (pipeline.py fails loudly on the same
-                # divisibility when a mesh IS passed)
-                print('note: --starts {} does not divide over the {} '
-                      'attached devices; running single-device (pick a '
-                      'multiple of {} to partition starts over the '
-                      'mesh)'.format(n_starts, n_dev, n_dev))
+        from .parallel import auto_mesh
+        # the shared placement rule (parallel.auto_mesh, also behind serve
+        # /fit): starts take a (gcd(K, N), N/gcd) (chain, sample) mesh;
+        # never skip attached devices silently — the fallback reason is
+        # printed
+        mesh, note = auto_mesh(n_starts, cfg.bound_samples)
+        _report_mesh(mesh, note)
         out = validated_vi_multistart(
             model.log_prob, family, init, cfg.n_iters, n_starts=n_starts,
             perturb_scale=args.perturb_scale,
@@ -279,20 +261,9 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
             if bad:
                 sys.exit('each end rate must satisfy 0 < end < rate; got '
                          'end {:g} for rate {:g}'.format(*bad[0]))
-        mesh = None
-        n_dev = len(jax.devices())
-        if n_dev > 1:
-            if len(lrs) % n_dev == 0:
-                # partition the rate axis over all attached devices
-                from .parallel import make_mesh
-                mesh = make_mesh(axis_names=('chain',), shape=(n_dev,))
-                print('mesh: {} devices on the chain (rate) axis'.format(
-                    n_dev))
-            else:
-                print('note: {} swept rates do not divide over the {} '
-                      'attached devices; running single-device (pick a '
-                      'multiple of {} rates to partition the sweep over '
-                      'the mesh)'.format(len(lrs), n_dev, n_dev))
+        from .parallel import auto_mesh
+        mesh, note = auto_mesh(len(lrs), cfg.bound_samples)
+        _report_mesh(mesh, note, ' (rate axis)')
         out = validated_vi_sweep(
             model.log_prob, family, init, cfg.n_iters, learning_rates=lrs,
             learning_rate_ends=lr_ends, mesh=mesh, **common)

@@ -124,18 +124,51 @@ def _validate_resume(state, template, path, key_entry, key_value):
             'pass the key of the original run'.format(path))
 
 
+def _stored_entry_names(path):
+    """Leaf entry names recorded in a checkpoint file."""
+    with np.load(path) as data:
+        return {k.split(':', 1)[1].split('/')[-1]
+                for k in data.files if ':' in k}
+
+
 def _load_resume_state(checkpoint_path, template):
     """`load_checkpoint(like=template)` with a resume-specific error for a
-    structurally incompatible (e.g. older-format) checkpoint."""
+    structurally incompatible (e.g. older-format or wrong-mode)
+    checkpoint.
+
+    The leaf NAMES are compared before the positional unflatten: a
+    checkpoint written in the other ``return_history`` mode has the same
+    leaf count but a ``params`` history where this run expects a
+    ``tail_sum`` (or vice versa), and the positional reassembly would
+    otherwise surface as a baffling shape mismatch blaming n_iters/window
+    instead of the actual mode flag."""
+    stored = _stored_entry_names(checkpoint_path)
+    expected = set(template)
+    if stored != expected:
+        mode_pairs = ({'params'}, {'tail_sum'})
+        if (stored - expected, expected - stored) in (mode_pairs,
+                                                      mode_pairs[::-1]):
+            raise ValueError(
+                'cannot resume from {!r}: it was written with '
+                'return_history={} but this run passes return_history={} '
+                '— resume in the mode that wrote the checkpoint (the two '
+                'modes store different state: an iterate history vs a '
+                'running tail sum)'.format(
+                    checkpoint_path, 'True' if 'params' in stored
+                    else 'False', 'params' in expected))
+        raise ValueError(
+            'cannot resume from {!r}: checkpoint entries {} do not match '
+            'this run\'s {}. Note: checkpoints written before the '
+            'PRNG-key entry was added to the format (pre-round-2) lack '
+            "the 'key'/'keys' entry and cannot be resumed — delete the "
+            'checkpoint or restart the run'.format(
+                checkpoint_path, sorted(stored), sorted(expected)))
     try:
         return load_checkpoint(checkpoint_path, like=template)
     except ValueError as e:
         raise ValueError(
             'cannot resume from {!r}: checkpoint structure does not match '
-            'this run ({}). Note: checkpoints written before the PRNG-key '
-            'entry was added to the format (pre-round-2) lack the '
-            "'key'/'keys' entry and cannot be resumed — delete the "
-            'checkpoint or restart the run'.format(checkpoint_path, e))
+            'this run ({})'.format(checkpoint_path, e))
 
 
 def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,

@@ -174,10 +174,17 @@ def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
     except TypeError:  # unhashable callable
         lp1 = lambda q: jnp.reshape(log_prob(q), ())
 
-    if mesh is not None and n_chains % mesh.shape['chain']:
-        raise ValueError('the mesh chain axis size ({}) must divide '
-                         'n_chains ({})'.format(mesh.shape['chain'],
-                                                n_chains))
+    if mesh is not None:
+        if 'chain' not in mesh.axis_names:
+            raise ValueError(
+                "hmc_sample partitions chains over a mesh axis named "
+                "'chain'; the given mesh has axes {} (build it with "
+                "make_mesh(axis_names=('chain',), ...))".format(
+                    mesh.axis_names))
+        if n_chains % mesh.shape['chain']:
+            raise ValueError('the mesh chain axis size ({}) must divide '
+                             'n_chains ({})'.format(mesh.shape['chain'],
+                                                    n_chains))
 
     def place(q, keys, eps):
         """Chain-axis placement (no-op without a mesh): re-applied per
@@ -230,7 +237,9 @@ def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
                 mean=flat.mean(axis=0),
                 cov=np.cov(flat.T),
                 r_hat=np.asarray(r_hat),
-                accept_rate=float(jnp.mean(fetch_global(accept))),
+                # np.mean on the already-gathered host array: a jnp.mean
+                # would re-upload it and pay a second dispatch round trip
+                accept_rate=float(np.mean(fetch_global(accept))),
                 step_size=fetch_global(eps2),
                 inv_mass=np.asarray(inv_mass))
 

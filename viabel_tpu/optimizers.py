@@ -502,9 +502,11 @@ def _adagrad_segment(obj, n_iters, window, learning_rate, epsilon,
         inner, out = base_step(inner, xs)
         i = xs[0]
         value, log_norm, new_param = out
-        ts = ts + jnp.where(i >= tail_start, new_param, 0.0)
         if keep_history:
+            # history mode returns the mean of the emitted history; the
+            # running sum would be dead O(P) work per iteration
             return (inner, ts), out
+        ts = ts + jnp.where(i >= tail_start, new_param, 0.0)
         return (inner, ts), (value, log_norm)
 
     xs = _chain_xs(obj, key, i0, length, dtype)

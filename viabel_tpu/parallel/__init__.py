@@ -20,7 +20,7 @@ scaling story:
 """
 from .distributed import (initialize_distributed, local_device_count,
                           process_info)
-from .mesh import fetch_global, make_mesh, shard_over
+from .mesh import auto_mesh, fetch_global, make_mesh, shard_over
 from .sharded_bounds import (sharded_all_bounds, sharded_log_weight_stats,
                              sharded_sample_stats)
 from .sharded_chains import shard_chain_inputs
@@ -28,7 +28,7 @@ from .sharded_psis import (psislw_sharded, psisloo_sharded,
                            sharded_psis_moments)
 
 __all__ = [
-    'make_mesh', 'shard_over', 'fetch_global',
+    'make_mesh', 'shard_over', 'fetch_global', 'auto_mesh',
     'sharded_log_weight_stats', 'sharded_sample_stats', 'sharded_all_bounds',
     'shard_chain_inputs',
     'psislw_sharded', 'psisloo_sharded', 'sharded_psis_moments',

@@ -289,6 +289,12 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
     if mesh is not None:
+        if axis not in mesh.axis_names:
+            raise ValueError(
+                'the bound pass shards over a mesh axis named {!r}; the '
+                'given mesh has axes {} (build it with '
+                "make_mesh(axis_names=('sample',)) or pass axis=)".format(
+                    axis, mesh.axis_names))
         if n_bound_samples % mesh.shape[axis]:
             raise ValueError('the mesh axis size ({}) must divide '
                              'n_bound_samples ({})'.format(
@@ -594,6 +600,12 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
         jnp.arange(n_starts))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        if axis not in mesh.axis_names:
+            raise ValueError(
+                'the multistart partitions starts over a mesh axis named '
+                '{!r}; the given mesh has axes {} (build it with '
+                "make_mesh(axis_names=('chain', ...)) or pass "
+                'axis=)'.format(axis, mesh.axis_names))
         if n_starts % mesh.shape[axis]:
             raise ValueError('the mesh axis size ({}) must divide n_starts '
                              '({})'.format(mesh.shape[axis], n_starts))
@@ -737,6 +749,12 @@ def validated_vi_sweep(log_density, var_family, init_param, n_iters, *,
                                                            dtype=dtype)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        if axis not in mesh.axis_names:
+            raise ValueError(
+                'the sweep partitions rates over a mesh axis named {!r}; '
+                'the given mesh has axes {} (build it with '
+                "make_mesh(axis_names=('chain', ...)) or pass "
+                'axis=)'.format(axis, mesh.axis_names))
         if lrs.size % mesh.shape[axis]:
             raise ValueError('the mesh axis size ({}) must divide the '
                              'number of learning rates ({})'.format(

@@ -73,6 +73,7 @@ class PosteriorService:
         self.max_fit_evals = int(max_fit_evals)
         self.max_distinct_fit_configs = int(max_distinct_fit_configs)
         self._fit_configs = set()
+        self._mesh_notes = set()  # (n_runs, n) shapes whose placement was logged
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._fit_lock = threading.Lock()  # held for a /fit's full duration
@@ -221,33 +222,24 @@ class PosteriorService:
             self._fit_lock.release()
 
     def _fit_mesh(self, n_starts, n_bound_samples):
-        """Mesh placement for a /fit on a multi-device host (round-3
-        review: the service was mesh-blind while the CLI partitioned).
-
-        With K starts on N devices the start axis takes ``C = gcd(K, N)``
-        devices and the remaining ``S = N / C`` shard each start's bound
-        pass (the 2-D production layout of `validated_vi_multistart`);
-        a single start puts all devices on the sample axis.  Returns None
-        — single-device execution — when the requested sizes do not
-        divide, mirroring the CLI's loud fallback (the caller logs)."""
-        import math
-
-        import jax
-        from .parallel import make_mesh
-        n_dev = len(jax.devices())
-        if n_dev <= 1:
-            return None
-        if n_starts == 1:
-            if n_bound_samples % n_dev:
-                return None
-            return make_mesh(axis_names=('sample',), shape=(n_dev,))
-        c = math.gcd(n_starts, n_dev)
-        if c == 1:
-            return None
-        s = n_dev // c
-        if s > 1 and n_bound_samples % s:
-            return None
-        return make_mesh(axis_names=('chain', 'sample'), shape=(c, s))
+        """Mesh placement for a /fit (or /bounds) on a multi-device host
+        (round-3 review: the service was mesh-blind while the CLI
+        partitioned): the shared `parallel.auto_mesh` rule — K starts take
+        a ``(gcd(K, N), N/gcd)`` (chain, sample) mesh, a single run puts
+        all devices on the sample axis.  The placement (or the reason for
+        a single-device fallback) is printed once per distinct request
+        shape — never skip attached devices silently."""
+        from .parallel import auto_mesh
+        mesh, note = auto_mesh(n_starts, n_bound_samples)
+        if note is not None:
+            key = (n_starts, n_bound_samples)
+            with self._lock:
+                first_time = key not in self._mesh_notes
+                self._mesh_notes.add(key)
+            if first_time:
+                print('[serve] K={}, n={}: {}'.format(
+                    n_starts, n_bound_samples, note), flush=True)
+        return mesh
 
     def _fit_locked(self, n_iters, n_mc_samples, n_bound_samples, lr,
                     lr_end, n_starts, pscale):
