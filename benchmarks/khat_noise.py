@@ -240,13 +240,27 @@ def main(seeds=16, quick=False, cpu=False):
             es_init, n_it, n_bound, seeds, refs[1], has_log_norm=False,
             learning_rate=.01, learning_rate_end=.001)
 
+    # a --quick smoke run must never clobber the recorded full campaign
+    # (parity.py renders RESULTS.md's acceptance bands from this file)
+    name = 'KHAT_NOISE_quick.json' if quick else 'KHAT_NOISE.json'
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'KHAT_NOISE.json')
+                            name)
     meta = dict(seeds=seeds, quick=quick,
                 backend=str(jax.devices()[0].platform),
                 dtype=str(jnp.result_type(float)))
+    # merge: keep configs this campaign did not run (the bounds-only
+    # nm_* entries from --nm-only), update everything it did
+    data = dict(meta=meta, configs={})
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        data['configs'] = {k: v for k, v in prior.get('configs',
+                                                      {}).items()
+                           if k not in results}
+    data['meta'] = meta
+    data['configs'].update(results)
     with open(out_path, 'w') as f:
-        json.dump(dict(meta=meta, configs=results), f, indent=1)
+        json.dump(data, f, indent=1)
     print('wrote', out_path)
     return results
 
