@@ -225,6 +225,10 @@ def main():
     p.add_argument('--n', type=int, default=2500000)
     p.add_argument('--reps', type=int, default=3)
     p.add_argument('--two-process', action='store_true')
+    p.add_argument('--two-process-multistart', action='store_true',
+                   help='record tier 2b: the 2-D fused multistart timed '
+                        'across a real 2-process Gloo boundary vs '
+                        'single-process on the same (2, 2) mesh shape')
     p.add_argument('--tpu-anchor', action='store_true',
                    help='record tier 4 on the real chip instead of the '
                             'virtual-pool tiers')
@@ -306,6 +310,59 @@ def main():
           'pass -> predicted ICI collective fraction {:.2%}'.format(
               acct['collective_bytes'] / 1e3, acct['local_bytes'] / 1e6,
               acct['predicted_collective_fraction']))
+
+    # tier 2b: the flagship 2-D fused multistart (2 starts x n-sample
+    # sharded bounds on a 2x2 mesh) timed across the real process boundary
+    # AND single-process on the same mesh shape — the program tier 3b's
+    # accounting models
+    if args.two_process_multistart:
+        from viabel_tpu import black_box_klvi, validated_vi_multistart
+        mesh22 = make_mesh(axis_names=('chain', 'sample'), shape=(2, 2),
+                           devices=jax.devices()[:4])
+        obj = black_box_klvi(fam, model.log_prob, 100, presampled=True)
+
+        def ms_pass(k):
+            out = validated_vi_multistart(
+                model.log_prob, fam, vp, 2000, n_starts=2,
+                perturb_scale=0.1, objective_and_grad=obj,
+                n_bound_samples=n, key=k, learning_rate=.01, mesh=mesh22)
+            return out
+        out = ms_pass(jax.random.PRNGKey(0))
+        t_sp = float('inf')
+        for rep in range(args.reps):
+            t0 = time.perf_counter()
+            out = ms_pass(jax.random.fold_in(jax.random.PRNGKey(0),
+                                             rep + 1))
+            t_sp = min(t_sp, time.perf_counter() - t0)
+        print('2-D multistart single-process (2x2 of 8 virtual): {:.3f}s'
+              .format(t_sp))
+
+        import socket
+        s = socket.socket()
+        s.bind(('127.0.0.1', 0))
+        port = str(s.getsockname()[1])
+        s.close()
+        worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'scaling_worker.py')
+        env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), '2', port, str(n),
+             str(args.reps), 'multistart2d'],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+            for i in range(2)]
+        outs = []
+        for pr in procs:
+            out_b, err = pr.communicate(timeout=1800)
+            assert pr.returncode == 0, err.decode()[-2000:]
+            outs.append(json.loads(out_b.decode().strip().splitlines()[-1]))
+        assert outs[0]['d2'] == outs[1]['d2'], 'ranks disagree'
+        best = max(o['best_s'] for o in outs)
+        results['tiers']['two_process_multistart2d'] = dict(
+            n_global_devices=outs[0]['n_global'], best_s=best,
+            single_process_s=t_sp, d2=outs[0]['d2'], khat=outs[0]['khat'])
+        print('2-D multistart 2-process (2x2 over Gloo): {:.3f}s vs '
+              '{:.3f}s single-process; ranks agree on d2/khat'.format(
+                  best, t_sp))
 
     # tier 2: 2-process Gloo run at the same size
     if args.two_process:
