@@ -355,3 +355,25 @@ def test_mesh_entry_points_reject_missing_axes():
     with pytest.raises(ValueError, match="axis named 'chain'"):
         hmc_sample(model.log_prob, jnp.zeros(model.dim), mesh=sample_only,
                    n_samples=10, n_warmup=10)
+
+
+def test_auto_mesh_invariants_property():
+    """For every (K, n) shape: a returned mesh's devices multiply to the
+    pool size, the chain axis divides K, the sample axis divides n, and a
+    None mesh always carries a reason."""
+    from viabel_tpu.parallel import auto_mesh
+    for k in range(1, 13):
+        for n in (1000, 4096, 4097, 999983):
+            mesh, note = auto_mesh(k, n)
+            if mesh is None:
+                assert note is not None and len(note) > 0, (k, n)
+                continue
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            assert int(np.prod(mesh.devices.shape)) == 8, (k, n)
+            if k == 1:
+                assert sizes == {'sample': 8}
+                assert n % 8 == 0, (k, n)
+            else:
+                assert k % sizes['chain'] == 0, (k, n)
+                if sizes['sample'] > 1:
+                    assert n % sizes['sample'] == 0, (k, n)
