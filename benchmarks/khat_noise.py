@@ -139,8 +139,12 @@ def nm_noise(seeds=16, quick=False, cpu=False):
     print('normal-mixture noise campaign: {:.1f}s'.format(
         time.perf_counter() - t0))
 
+    # a --quick smoke run must never clobber the recorded full campaign's
+    # nm_* bands (the same protection main() applies; parity.py renders
+    # RESULTS.md's acceptance bands from KHAT_NOISE.json)
+    name = 'KHAT_NOISE_quick.json' if quick else 'KHAT_NOISE.json'
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'KHAT_NOISE.json')
+                            name)
     data = dict(meta=dict(seeds=seeds, quick=quick,
                           backend=str(jax.devices()[0].platform),
                           dtype=str(jnp.result_type(float))),

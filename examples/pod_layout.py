@@ -124,6 +124,18 @@ def main(argv=None):
     print('[3] {} IA chains over the chain axis: final R-hat max = '
           '{:.3f}'.format(c, float(np.max(out[6]['r_hat_mean']))))
 
+    # 3b) HMC ground-truth chains on the same chain axis (each layout is
+    # individually deterministic; sharded vs unsharded chains differ by
+    # design — see hmc_sample's docstring)
+    from viabel_tpu.mcmc import hmc_sample
+    n_hmc = max(int(2000 * scale), 100)
+    hmc = hmc_sample(model.log_prob, np.zeros(model.dim),
+                     key=jax.random.PRNGKey(3), n_chains=2 * c,
+                     n_samples=n_hmc, n_warmup=n_hmc // 2, mesh=mesh2d)
+    print('[3b] {} HMC chains over the chain axis: R-hat max = {:.3f}, '
+          'accept = {:.2f}'.format(2 * c, float(np.max(hmc['r_hat'])),
+                                   hmc['accept_rate']))
+
     # host post-passes already used fetch_global internally; show it for a
     # user-held sharded array too
     print('    log-weights live on {} devices; fetch_global -> host {}'

@@ -93,12 +93,15 @@ def test_cli_run_fused(capsys):
 
 
 def test_cli_run_fused_notes_indivisible_bound_samples(capsys):
+    """900 does not divide over all 8 devices; the placement degrades to
+    the largest divisor (6) instead of abandoning the mesh, and the
+    degradation is surfaced (round-4 review)."""
     from viabel_tpu.__main__ import main
     main(['run', '--model', 'funnel', '--n-iters', '100', '--n-mc', '10',
           '--bound-samples', '900', '--fused'])
     out = capsys.readouterr().out
-    assert 'note: 900 bound samples do not divide over the 8 attached ' \
-           'devices' in out
+    assert 'mesh: 900 bound samples do not divide over all 8 devices; ' \
+           'degraded to 6 devices on the sample axis' in out
     assert 'khat' in out
 
 
@@ -411,10 +414,11 @@ def test_cli_run_multistart_no_common_factor_says_so(capsys):
           '--bound-samples', '4000', '--starts', '3',
           '--perturb-scale', '0.1'])
     out = capsys.readouterr().out
-    # gcd(3, 8) == 1: no placement exists; the CLI must say so, never
-    # silently run single-device
-    assert 'note: 3 runs share no common factor with the 8 attached ' \
-           'devices' in out
+    # gcd(3, 8) == 1: the starts stay vmapped (chain axis of 1) but the
+    # bound passes still shard 8-way — and the placement is surfaced
+    # (round-4 review: this used to abandon the mesh entirely)
+    assert 'mesh: (1x8) (chain, sample) mesh: 3 runs per device group, ' \
+           'bound passes 8-way sharded' in out
     assert 'best by validated d2 bound' in out
 
 
@@ -480,7 +484,8 @@ def test_posterior_service_fit_uses_mesh(monkeypatch):
     (round-3 review: the service ran the vmapped multistart single-device
     while the CLI partitioned).  4 starts on the 8-device pool take a
     (4, 2) (chain, sample) mesh; a single-start fit takes the full
-    8-device sample mesh; indivisible sizes fall back to None."""
+    8-device sample mesh; indivisible sizes degrade to the largest
+    usable placement instead of abandoning the mesh."""
     import viabel_tpu.pipeline as pl
     service = _make_service()
 
@@ -490,9 +495,18 @@ def test_posterior_service_fit_uses_mesh(monkeypatch):
         == {'chain': 4, 'sample': 2}
     mesh1 = service._fit_mesh(1, 4000)
     assert mesh1 is not None and mesh1.devices.shape == (8,)
-    assert service._fit_mesh(3, 4000) is None       # gcd(3, 8) == 1
-    assert service._fit_mesh(4, 4001) is None       # 4001 % 2 != 0
-    assert service._fit_mesh(1, 4001) is None       # 4001 % 8 != 0
+    # degradations (round-4 review: indivisible sizes used to abandon the
+    # mesh entirely): gcd(3, 8) == 1 still shards the bound passes 8-way
+    # on a (1, 8) mesh, and 4001 odd samples degrade the sample axis to 1
+    # while keeping the (4, 1) chain placement
+    mesh3 = service._fit_mesh(3, 4000)
+    assert dict(zip(mesh3.axis_names, mesh3.devices.shape)) \
+        == {'chain': 1, 'sample': 8}
+    mesh41 = service._fit_mesh(4, 4001)
+    assert dict(zip(mesh41.axis_names, mesh41.devices.shape)) \
+        == {'chain': 4, 'sample': 1}
+    # 4001 is prime: a single run has no usable sample axis at all
+    assert service._fit_mesh(1, 4001) is None
 
     # the mesh actually reaches the pipeline calls
     seen = {}

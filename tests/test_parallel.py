@@ -295,8 +295,9 @@ def test_shard_chain_inputs_accepts_typed_keys(chain_mesh):
 def test_auto_mesh_placement_rules():
     """The shared CLI/serve placement rule (round-4 review: the two had
     diverged): K runs take a (gcd(K, N), N/gcd) mesh, a single run takes
-    the full sample mesh, indivisible sizes fall back to None WITH a
-    reason string — attached devices are never skipped silently."""
+    the full sample mesh, and indivisible sizes DEGRADE (largest usable
+    sample axis / chain-only placement) rather than abandoning the mesh —
+    attached devices are never skipped or degraded silently."""
     from viabel_tpu.parallel import auto_mesh
 
     mesh, note = auto_mesh(1, 4096)
@@ -313,13 +314,20 @@ def test_auto_mesh_placement_rules():
         chain=8, sample=1)
     assert 'chain axis' in note
 
-    # fallbacks carry the reason
-    mesh, note = auto_mesh(3, 4096)
-    assert mesh is None and 'no common factor' in note
-    mesh, note = auto_mesh(1, 4097)
-    assert mesh is None and 'do not divide' in note
+    # degradations carry the reason (round-4 review: indivisible sizes
+    # used to abandon all attached devices)
+    mesh, note = auto_mesh(3, 4096)  # gcd(3, 8) == 1: chain axis of 1,
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == dict(
+        chain=1, sample=8)           # bound passes still shard 8-way
+    mesh, note = auto_mesh(1, 4097)  # 4097 = 17*241: no divisor <= 8
+    assert mesh is None and 'share no factor' in note
     mesh, note = auto_mesh(4, 4097)  # sample axis would be 2; 4097 is odd
-    assert mesh is None and 'do not divide' in note
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == dict(
+        chain=4, sample=1)           # keeps the (4, 1) chain placement
+    assert 'using 4 of the 8' in note and '4097' in note
+    mesh, note = auto_mesh(1, 4098)  # 4098 = 2*3*683: degrade 8 -> 6
+    assert mesh.axis_names == ('sample',) and mesh.devices.shape == (6,)
+    assert 'degraded to 6 devices' in note
 
     # single device: nothing to place, nothing to report
     mesh, note = auto_mesh(4, 4096, devices=jax.devices()[:1])
@@ -358,21 +366,26 @@ def test_mesh_entry_points_reject_missing_axes():
 
 
 def test_auto_mesh_invariants_property():
-    """For every (K, n) shape: a returned mesh's devices multiply to the
-    pool size, the chain axis divides K, the sample axis divides n, and a
-    None mesh always carries a reason."""
+    """For every (K, n) shape: a returned mesh uses at most the pool (all
+    of it when sizes divide), the chain axis divides K, the sample axis
+    divides n, a degraded placement says so in the note, and a None mesh
+    always carries a reason."""
     from viabel_tpu.parallel import auto_mesh
     for k in range(1, 13):
-        for n in (1000, 4096, 4097, 999983):
+        for n in (1000, 4096, 4097, 4098, 999983):
             mesh, note = auto_mesh(k, n)
             if mesh is None:
                 assert note is not None and len(note) > 0, (k, n)
                 continue
             sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-            assert int(np.prod(mesh.devices.shape)) == 8, (k, n)
+            used = int(np.prod(mesh.devices.shape))
+            assert 2 <= used <= 8, (k, n)
+            if used < 8:  # degradations are never silent
+                assert 'degraded' in note or 'using {} of'.format(
+                    used) in note, (k, n, note)
             if k == 1:
-                assert sizes == {'sample': 8}
-                assert n % 8 == 0, (k, n)
+                assert set(sizes) == {'sample'}
+                assert n % sizes['sample'] == 0, (k, n)
             else:
                 assert k % sizes['chain'] == 0, (k, n)
                 if sizes['sample'] > 1:

@@ -269,7 +269,11 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
             learning_rate_ends=lr_ends, mesh=mesh, **common)
         labels = ['lr {:g}'.format(lr) for lr in lrs]
 
-    values = np.asarray(out['value_history'])
+    # the batched outputs are chain-sharded when a mesh is attached; under
+    # a multi-controller runtime bare np.asarray on them raises (CLAUDE.md
+    # fetch convention) — every host fetch goes through fetch_global
+    from .parallel import fetch_global
+    values = fetch_global(out['value_history'])
     for k, label in enumerate(labels):
         b, khat = out['bounds'][k], out['khat'][k]
         print('{:>22}: d2 = {:<10.4g} khat = {:+.3f}  final loss = '
@@ -278,9 +282,9 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
                                                    1):].mean())))
     best = out['best']
     print('best by validated d2 bound: {}'.format(labels[best]))
-    best_param = out['opt_param'][best]
+    best_param = fetch_global(out['opt_param'])[best]
     print('posterior mean estimate:',
-          np.round(np.asarray(out['q_mean'][best]), 4))
+          np.round(fetch_global(out['q_mean'])[best], 4))
     if model.true_mean is not None:
         check_approx_accuracy(family, best_param, model.true_mean,
                               model.true_cov, verbose=True)
@@ -289,7 +293,7 @@ def _run_batched(args, cfg, model, family, objective, opt_key):
     print('khat = {:.3f}{}'.format(
         khat, '  (> 0.7: unreliable)' if khat > 0.7 else ''))
     print('PSIS-corrected mean:',
-          np.round(np.asarray(out['psis_mean'][best]), 4))
+          np.round(fetch_global(out['psis_mean'])[best], 4))
 
 
 def _cmd_bench(args):

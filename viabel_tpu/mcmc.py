@@ -241,7 +241,11 @@ def hmc_sample(log_prob, init, key=None, n_samples=5000, n_warmup=1000,
                 # would re-upload it and pay a second dispatch round trip
                 accept_rate=float(np.mean(fetch_global(accept))),
                 step_size=fetch_global(eps2),
-                inv_mass=np.asarray(inv_mass))
+                # inv_mass is reduced from the chain-sharded warmup draws,
+                # so under a process-spanning mesh it is itself a global
+                # array: bare np.asarray would raise on non-addressable
+                # shards (CLAUDE.md fetch convention)
+                inv_mass=fetch_global(inv_mass))
 
 
 def hmc_ground_truth(model, key=None, transform=None, r_hat_tol=1.01,

@@ -707,9 +707,13 @@ def _ia_postprocess(K, chains, values, log_norms, rhat_window,
         r_hat_mean_halfway=rhat_mean_halfway,
         r_hat_sigma_halfway=rhat_sigma_halfway,
     )
+    # the gathered host copy of `chains` rides along so the caller's return
+    # does not pay a SECOND full gather of the largest buffer in the
+    # routine (n_chains x hist_cap x P — and a second cross-process
+    # allgather of it under a multi-controller mesh)
     return (averaged_variational_mean_list, averaged_variational_sigmas_list,
             np.asarray(values).reshape(-1), np.asarray(log_norms).reshape(-1),
-            optimisation_log)
+            optimisation_log, chains)
 
 
 def _ia_optimize(kind, perturb_scale, n_iters, objective_and_grad,
@@ -751,7 +755,7 @@ def _ia_optimize(kind, perturb_scale, n_iters, objective_and_grad,
             inits, chain_keys, hist_cap=hist_cap, avg_start=avg_start)
 
     (avg_means, avg_sigmas, value_history, log_norm_history,
-     optimisation_log) = _ia_postprocess(
+     optimisation_log, host_chains) = _ia_postprocess(
         K, chains, values, log_norms, rhat_window,
         r_mean_threshold, r_sigma_threshold, tail_avg_iters)
     from .parallel import fetch_global
@@ -759,8 +763,9 @@ def _ia_optimize(kind, perturb_scale, n_iters, objective_and_grad,
         optimisation_log['averaged_variational_param'] = \
             fetch_global(avg_params)
     # post-final-update parameter of the last chain, matching the reference
-    # return (reference: viabel/vb.py:547)
-    return (fetch_global(final_params)[-1], fetch_global(chains), avg_means,
+    # return (reference: viabel/vb.py:547); `host_chains` is the post-pass's
+    # already-gathered copy — do not gather the device array a second time
+    return (fetch_global(final_params)[-1], host_chains, avg_means,
             avg_sigmas, value_history, log_norm_history, optimisation_log)
 
 

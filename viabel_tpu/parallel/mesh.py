@@ -34,6 +34,14 @@ def shard_over(x, mesh, axis_name, dim=0):
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
 
+def _largest_divisor_leq(n, cap):
+    """Largest d <= cap with n % d == 0 (>= 1; cap is a device count)."""
+    for d in range(cap, 1, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def auto_mesh(n_runs=1, n_samples=None, devices=None):
     """Best mesh placement for `n_runs` batched pipelines whose bound
     stages draw `n_samples` each, over the attached devices.
@@ -42,15 +50,23 @@ def auto_mesh(n_runs=1, n_samples=None, devices=None):
     (round-4 review: the two had diverged — the CLI ran K=4 starts on 8
     devices single-device while serve placed them on a (4, 2) mesh):
 
-    * K > 1 runs: the run axis takes ``C = gcd(K, N)`` devices and the
-      remaining ``S = N / C`` shard each run's bound pass — the 2-D
-      layout of `validated_vi_multistart` / `validated_vi_sweep`;
+    * K > 1 runs: the run axis takes ``C = gcd(K, N)`` devices (C may be
+      1 — starts then stay vmapped while the bound passes still shard)
+      and the remaining ``S = N / C`` shard each run's bound pass — the
+      2-D layout of `validated_vi_multistart` / `validated_vi_sweep`;
     * K == 1: all devices go on the sample axis (`validated_vi(mesh=)`).
 
+    When `n_samples` does not divide over the preferred sample axis, the
+    axis DEGRADES to the largest divisor of `n_samples` that fits (using
+    a subset of the devices) rather than abandoning the mesh — a user
+    asking for 4 starts and 4001 bound samples on 8 devices still gets
+    the (4, 1) chain placement (round-4 review finding).
+
     Returns ``(mesh, note)``: `mesh` is None (single-device execution)
-    when fewer than two devices are attached or the sizes do not divide,
-    and `note` is a human-readable reason/description the caller MUST
-    surface (never skip attached devices silently).
+    only when fewer than two devices are attached or no multi-device
+    placement exists at all, and `note` is a human-readable
+    reason/description the caller MUST surface (never skip or degrade
+    attached devices silently).
     """
     import math
 
@@ -60,31 +76,47 @@ def auto_mesh(n_runs=1, n_samples=None, devices=None):
     if n_dev <= 1:
         return None, None
     if n_runs == 1:
-        if n_samples is not None and n_samples % n_dev:
-            return None, ('{} bound samples do not divide over the {} '
-                          'attached devices; running single-device (pick '
-                          'a multiple of {})'.format(n_samples, n_dev,
-                                                     n_dev))
-        return (make_mesh(axis_names=('sample',), shape=(n_dev,),
+        s = n_dev
+        if n_samples is not None and n_samples % s:
+            s = _largest_divisor_leq(n_samples, n_dev)
+            if s == 1:
+                return None, ('{} bound samples share no factor <= {} '
+                              'with the attached devices; running '
+                              'single-device (pick a multiple of {})'
+                              .format(n_samples, n_dev, n_dev))
+            return (make_mesh(axis_names=('sample',), shape=(s,),
+                              devices=devices[:s]),
+                    '{} bound samples do not divide over all {} devices; '
+                    'degraded to {} devices on the sample axis'.format(
+                        n_samples, n_dev, s))
+        return (make_mesh(axis_names=('sample',), shape=(s,),
                           devices=devices),
-                '{} devices on the sample axis'.format(n_dev))
+                '{} devices on the sample axis'.format(s))
     c = math.gcd(n_runs, n_dev)
-    if c == 1:
-        return None, ('{} runs share no common factor with the {} '
-                      'attached devices; running single-device (pick a '
-                      'run count with a common factor)'.format(n_runs,
-                                                               n_dev))
     s = n_dev // c
+    degraded = False
     if s > 1 and n_samples is not None and n_samples % s:
-        return None, ('{} bound samples do not divide over the sample '
-                      'axis ({} devices); running single-device'.format(
-                          n_samples, s))
+        s = _largest_divisor_leq(n_samples, s)
+        degraded = True
+    if c * s == 1:
+        return None, ('{} runs share no common factor with the {} '
+                      'attached devices and {} bound samples leave no '
+                      'usable sample axis; running single-device'.format(
+                          n_runs, n_dev, n_samples))
     mesh = make_mesh(axis_names=('chain', 'sample'), shape=(c, s),
-                     devices=devices)
-    return mesh, ('({}x{}) (chain, sample) mesh: {} runs per device '
-                  'group, bound passes {}-way sharded'.format(
-                      c, s, n_runs // c, s) if s > 1
-                  else '{} devices on the chain axis'.format(c))
+                     devices=devices[:c * s])
+    used = ('' if c * s == n_dev else
+            ' (using {} of the {} attached devices{})'.format(
+                c * s, n_dev,
+                '; {} bound samples forced the degradation'.format(
+                    n_samples) if degraded else ''))
+    if s > 1:
+        note = ('({}x{}) (chain, sample) mesh: {} runs per device '
+                'group, bound passes {}-way sharded{}'.format(
+                    c, s, n_runs // c, s, used))
+    else:
+        note = '{} devices on the chain axis{}'.format(c, used)
+    return mesh, note
 
 
 def fetch_global(x):
