@@ -376,11 +376,87 @@ def test_param_from_checkpoint_kinds(tmp_path):
     np.testing.assert_allclose(_param_from_checkpoint(single),
                                np.asarray(sm), rtol=1e-6)
 
+    # no-history (return_history=False) adagrad resumable checkpoint: the
+    # served parameter is the tail-sum mean — the same smoothed fit the
+    # driver returns (round-4 review: this format used to fall through to
+    # the raw last iterate)
+    lean = str(tmp_path / 'lean.npz')
+    sm2, hist2, _, _ = adagrad_optimize_resumable(
+        40, obj, init, checkpoint_path=lean, save_every=20,
+        return_history=False)
+    assert hist2 is None
+    np.testing.assert_allclose(_param_from_checkpoint(lean),
+                               np.asarray(sm2), rtol=1e-6)
+
+    # a no-history checkpoint saved BEFORE tail averaging starts serves
+    # the current iterate (the tail sum is still all zeros)
+    from viabel_tpu.checkpoint import save_checkpoint
+    partial = str(tmp_path / 'partial.npz')
+    cur = np.full(4, 7.0)
+    save_checkpoint(partial, dict(
+        i=np.asarray(10), key=np.zeros(2, np.uint32), param=cur,
+        grads=np.zeros((10, 4)), log_norms=np.zeros(10),
+        values=np.zeros(40), lns=np.zeros(40), tail_sum=np.zeros(4)))
+    np.testing.assert_allclose(_param_from_checkpoint(partial), cur)
+
     # plain npz with a single parameter vector
     raw = str(tmp_path / 'raw.npz')
     np.savez(raw, w=np.asarray(init))
     np.testing.assert_allclose(_param_from_checkpoint(raw),
                                np.asarray(init))
+
+
+def test_serve_json_sanitizes_nonfinite():
+    """Round-4 review: a vacuous bound (inf) or degenerate khat (NaN) must
+    still serialize as valid RFC-8259 JSON — `Infinity`/`NaN` tokens break
+    strict clients on exactly the responses reporting the vacuous case."""
+    import math
+
+    from viabel_tpu.serve import _stringify_nonfinite
+    obj = dict(bounds=dict(W2=math.inf, d2=0.5, mean_error=-math.inf),
+               khat=math.nan, xs=[1.0, math.inf])
+    body = json.dumps(_stringify_nonfinite(obj), allow_nan=False)
+    back = json.loads(body)
+    assert back['bounds'] == dict(W2='inf', d2=0.5, mean_error='-inf')
+    assert back['khat'] == 'nan'
+    assert back['xs'] == [1.0, 'inf']
+
+
+def test_service_sample_is_capped():
+    """Round-4 review: the resource guard must live in the service class
+    (the docstring's contract), not only in the HTTP handler's clamp."""
+    service = _make_service()
+    with pytest.raises(ValueError, match='exceeds the service limit'):
+        service.sample(service.max_bound_samples + 1)
+
+
+def test_serve_fit_from_config_honors_optimizer():
+    """Round-4 review: `serve --config` without --param used to silently
+    fit with adagrad on an unsplit key regardless of cfg.optimizer; the
+    fit must mirror the CLI (same optimizer, same 3-way key split) so one
+    config yields one posterior from either entry point."""
+    import jax
+
+    from viabel_tpu import adagrad_optimize
+    from viabel_tpu.config import ExperimentConfig, build
+    from viabel_tpu.serve import _fit_from_config
+
+    cfg = ExperimentConfig(model='funnel', family='mean_field_gaussian',
+                           optimizer='rmsprop_ia', n_chains=2,
+                           n_iters=300, n_mc=10)
+    model, family, objective = build(cfg)
+    vp = _fit_from_config(cfg, model, family, objective)
+    assert np.all(np.isfinite(np.asarray(vp)))
+
+    cfg2 = ExperimentConfig(model='funnel', family='mean_field_gaussian',
+                            n_iters=80, n_mc=10)
+    model2, family2, objective2 = build(cfg2)
+    vp2 = _fit_from_config(cfg2, model2, family2, objective2)
+    opt_key, _, _ = jax.random.split(jax.random.PRNGKey(cfg2.seed), 3)
+    ref = adagrad_optimize(80, objective2, family2.init_param(),
+                           key=opt_key,
+                           learning_rate=cfg2.learning_rate)[0]
+    np.testing.assert_array_equal(np.asarray(vp2), np.asarray(ref))
 
 
 def test_cli_run_multistart(capsys):

@@ -219,6 +219,60 @@ def test_adagrad_resumable_wrong_mode_names_the_flag(tmp_path):
                                         save_every=50)
 
 
+def test_resumable_rejects_changed_hyperparameters(tmp_path):
+    """Round-4 review: the resume validation checked shapes and the PRNG
+    key but not the optimizer hyperparameters, so resuming a run at a
+    different learning rate silently spliced two schedules into one
+    'smoothed' trajectory.  Both resumable drivers must reject it."""
+    import viabel_tpu.checkpoint as ckpt
+    from viabel_tpu import rmsprop_IA_optimize_with_rhat
+    from viabel_tpu.optimizers import adam_IA_optimize_with_rhat
+
+    fam = mean_field_gaussian_variational_family(1)
+    log_density = _gaussian_target(jnp.asarray([0.5]), jnp.asarray([0.0]))
+    obj = black_box_klvi(fam, log_density, 20)
+    init = jnp.zeros(2, dtype=jnp.float64)
+    key = jax.random.PRNGKey(0)
+
+    path = str(tmp_path / 'hp.npz')
+    ckpt.adagrad_optimize_resumable(100, obj, init, checkpoint_path=path,
+                                    key=key, save_every=50,
+                                    learning_rate=0.01)
+    with pytest.raises(ValueError, match='learning_rate'):
+        ckpt.adagrad_optimize_resumable(100, obj, init,
+                                        checkpoint_path=path, key=key,
+                                        save_every=50, learning_rate=0.05)
+    with pytest.raises(ValueError, match='learning_rate_end'):
+        ckpt.adagrad_optimize_resumable(100, obj, init,
+                                        checkpoint_path=path, key=key,
+                                        save_every=50, learning_rate=0.01,
+                                        learning_rate_end=0.001)
+    # the original values resume fine (completed run: no-op segments)
+    ckpt.adagrad_optimize_resumable(100, obj, init, checkpoint_path=path,
+                                    key=key, save_every=50,
+                                    learning_rate=0.01)
+
+    # the segmented chains driver: same gap, plus the update-rule kind —
+    # resuming an RMSProp checkpoint with the Adam driver must fail
+    path2 = str(tmp_path / 'hp_chains.npz')
+    rmsprop_IA_optimize_with_rhat(60, obj, init, 1, key=key,
+                                  n_optimisers=2, rhat_window=20,
+                                  tail_avg_iters=20, checkpoint_path=path2,
+                                  save_every=30, learning_rate=0.01)
+    with pytest.raises(ValueError, match='learning_rate'):
+        rmsprop_IA_optimize_with_rhat(60, obj, init, 1, key=key,
+                                      n_optimisers=2, rhat_window=20,
+                                      tail_avg_iters=20,
+                                      checkpoint_path=path2,
+                                      save_every=30, learning_rate=0.02)
+    with pytest.raises(ValueError, match='kind'):
+        adam_IA_optimize_with_rhat(60, obj, init, 1, key=key,
+                                   n_optimisers=2, rhat_window=20,
+                                   tail_avg_iters=20,
+                                   checkpoint_path=path2,
+                                   save_every=30, learning_rate=0.01)
+
+
 def test_throughput_meter():
     from viabel_tpu.utils import ThroughputMeter
     meter = ThroughputMeter(reps=2)

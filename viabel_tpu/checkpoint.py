@@ -100,15 +100,28 @@ def load_checkpoint_entry(path, name):
         return data[matches[0]]
 
 
-def _validate_resume(state, template, path, key_entry, key_value):
+def _entries_equal(a, b):
+    """Value equality for checkpoint scalars; NaN-tolerant for floats (a
+    ``learning_rate_end`` of None is stored as NaN)."""
+    a, b = np.asarray(a), np.asarray(b)
+    if a.dtype.kind == 'f' and b.dtype.kind == 'f':
+        return np.array_equal(a, b, equal_nan=True)
+    return np.array_equal(a, b)
+
+
+def _validate_resume(state, template, path, key_entry, key_value,
+                     value_entries=()):
     """Fail loudly when a checkpoint does not match the resuming run.
 
-    Two silent-corruption modes are rejected: a changed run configuration
+    Three silent-corruption modes are rejected: a changed run configuration
     (different ``n_iters``/``window``/parameter sizes leave stale history
-    shapes that either crash mid-run or average the wrong tail) and a
+    shapes that either crash mid-run or average the wrong tail), a
     changed PRNG key (the per-iteration draws come from
     ``fold_in(key, i)``, so resuming under a new key would switch the RNG
-    stream mid-trajectory with no error)."""
+    stream mid-trajectory with no error), and changed optimizer
+    hyperparameters (`value_entries`, e.g. the learning-rate schedule —
+    resuming a run at a different rate would splice two different schedules
+    into one 'smoothed' average with no error)."""
     for name, ref in template.items():
         if np.shape(state[name]) != np.shape(ref):
             raise ValueError(
@@ -122,6 +135,15 @@ def _validate_resume(state, template, path, key_entry, key_value):
             'cannot resume from {!r}: it was written under a different PRNG '
             'key; resuming would silently switch the RNG stream mid-run — '
             'pass the key of the original run'.format(path))
+    for name in value_entries:
+        if not _entries_equal(state[name], template[name]):
+            raise ValueError(
+                'cannot resume from {!r}: it was written with {} = {}, but '
+                'this run passes {} — resuming under different optimizer '
+                'hyperparameters would silently corrupt the trajectory; '
+                'pass the original value (or delete the checkpoint to '
+                'restart)'.format(path, name, np.asarray(state[name]),
+                                  np.asarray(template[name])))
 
 
 def _stored_entry_names(path):
@@ -158,10 +180,11 @@ def _load_resume_state(checkpoint_path, template):
                     else 'False', 'params' in expected))
         raise ValueError(
             'cannot resume from {!r}: checkpoint entries {} do not match '
-            'this run\'s {}. Note: checkpoints written before the '
-            'PRNG-key entry was added to the format (pre-round-2) lack '
-            "the 'key'/'keys' entry and cannot be resumed — delete the "
-            'checkpoint or restart the run'.format(
+            'this run\'s {}. Note: checkpoints written by older versions '
+            "of this library lack newer format entries (the 'key'/'keys' "
+            'PRNG entry, pre-round-2; the hyperparameter scalars, '
+            'pre-round-4) and cannot be resumed — delete the checkpoint '
+            'or restart the run'.format(
                 checkpoint_path, sorted(stored), sorted(expected)))
     try:
         return load_checkpoint(checkpoint_path, like=template)
@@ -218,6 +241,15 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
         log_norms=np.zeros(window, np_dtype),
         values=np.zeros(n_iters, np_dtype),
         lns=np.zeros(n_iters, np_dtype),
+        # the LR schedule's scalars, value-checked on resume: a changed
+        # rate/epsilon would splice two different schedules into one
+        # trajectory with no error (round-4 review); n_iters/window/P are
+        # already shape-checked via the entries above
+        learning_rate=np.asarray(float(learning_rate)),
+        epsilon=np.asarray(float(epsilon)),
+        learning_rate_end=np.asarray(
+            np.nan if learning_rate_end is None else float(
+                learning_rate_end)),
     )
     if return_history:
         template['params'] = np.zeros((n_iters, P), np_dtype)
@@ -225,7 +257,9 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
         template['tail_sum'] = np.zeros(P, np_dtype)
     if os.path.exists(checkpoint_path):
         state = _load_resume_state(checkpoint_path, template)
-        _validate_resume(state, template, checkpoint_path, 'key', key)
+        _validate_resume(state, template, checkpoint_path, 'key', key,
+                         value_entries=('learning_rate', 'epsilon',
+                                        'learning_rate_end'))
         start = int(state['i'])
     else:
         state = template

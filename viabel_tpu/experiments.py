@@ -303,6 +303,9 @@ def _optimize_and_check_results(log_density, var_family, objective_and_grad,
     opt_param, var_param_history, value_history, _ = adagrad_optimize(
         n_iters, objective_and_grad, init_var_param, key=opt_key, **kwargs)
     if plot_contours:
+        # the objective-history trace `ylabel` labels ('-ELBO' / 'CUBO';
+        # reference: notebooks/experiments.py:146-147)
+        plot_history(value_history, ylabel=ylabel)
         plot_dist_to_opt_param(var_param_history, opt_param)
     accuracy_results = check_approx_accuracy(var_family, opt_param,
                                              true_mean, true_cov, verbose)

@@ -560,13 +560,28 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
         values=np.zeros((n_chains, n_iters), np_dtype),
         lns=np.zeros((n_chains, n_iters), np_dtype),
         hist=np.zeros((n_chains, cap, P), np_dtype),
+        # run configuration beyond what the shapes above pin, value-checked
+        # on resume: a changed rate/epsilon/averaging-start — or resuming
+        # an RMSProp checkpoint with the Adam driver — would silently
+        # splice two different update rules into one trajectory
+        # (round-4 review)
+        kind=np.asarray(str(kind)),
+        learning_rate=np.asarray(float(learning_rate)),
+        epsilon=np.asarray(float(epsilon)),
+        learning_rate_end=np.asarray(
+            np.nan if learning_rate_end is None else float(
+                learning_rate_end)),
+        avg_start=np.asarray(-1 if avg_start is None else int(avg_start),
+                             np.int64),
     )
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         from .checkpoint import _load_resume_state, _validate_resume
         state = _load_resume_state(checkpoint_path, template)
         # reject a changed configuration or PRNG key stream — either would
         # silently corrupt the resumed trajectory (see checkpoint.py)
-        _validate_resume(state, template, checkpoint_path, 'keys', keys)
+        _validate_resume(state, template, checkpoint_path, 'keys', keys,
+                         value_entries=('kind', 'learning_rate', 'epsilon',
+                                        'learning_rate_end', 'avg_start'))
         start = int(state['i'])
     else:
         state = template

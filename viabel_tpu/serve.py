@@ -21,7 +21,7 @@ served from a single compiled JAX program per endpoint.  On a multi-device
 host the service exploits every attached device: ``/fit`` places K starts
 on a ``(gcd(K, N), N/gcd)`` (chain, sample) mesh and ``/bounds`` shards
 its Monte Carlo pass over the sample axis (`PosteriorService._fit_mesh`;
-indivisible sizes fall back to single-device).  Start with::
+indivisible sizes degrade to the largest usable placement).  Start with::
 
     python -m viabel_tpu.serve --config cfg.json --param ckpt.npz --port 8080
 """
@@ -112,6 +112,13 @@ class PosteriorService:
         return 1 << max(int(n) - 1, 0).bit_length()
 
     def sample(self, n):
+        n = int(n)
+        # the resource guard lives here, not only in the HTTP handler: a
+        # library caller (or a future binding) gets the same bound the
+        # class docstring promises for every endpoint size
+        if n > self.max_bound_samples:
+            raise ValueError('n = {} exceeds the service limit {}'.format(
+                n, self.max_bound_samples))
         var_param, _, _ = self._snapshot()
         draws = self._sample(self._next_key(), var_param, self._bucket(n))
         return np.asarray(draws[:n])
@@ -254,9 +261,10 @@ class PosteriorService:
                     raise ValueError(
                         'distinct fit-configuration limit ({}) reached — '
                         'each distinct (n_iters, n_mc_samples, '
-                        'n_bound_samples, learning_rate) tuple compiles '
-                        'and caches a new device program; reuse one of '
-                        'the existing configurations'.format(
+                        'n_bound_samples, learning_rate, '
+                        'learning_rate_end, n_starts, perturb_scale) '
+                        'tuple compiles and caches a new device program; '
+                        'reuse one of the existing configurations'.format(
                             self.max_distinct_fit_configs))
                 self._fit_configs.add(cfg)
         var_param, _, _ = self._snapshot()
@@ -295,10 +303,15 @@ class PosteriorService:
                 with self._lock:
                     self._fit_configs.discard(cfg)
             raise
-        mean = np.asarray(out['q_mean'])
-        cov = np.asarray(out['q_cov'])
+        # fetch_global, not bare np.asarray: with a multi-start fit the
+        # pipeline outputs are chain-sharded, and under a multi-controller
+        # runtime their shards span processes (CLAUDE.md fetch convention;
+        # the CLI's _run_batched routes the identical outputs the same way)
+        from .parallel import fetch_global
+        mean = fetch_global(out['q_mean'])
+        cov = fetch_global(out['q_cov'])
         with self._lock:
-            self.var_param = jnp.asarray(out['opt_param'])
+            self.var_param = jnp.asarray(fetch_global(out['opt_param']))
             self.mean = mean
             self.cov = cov
         res = dict(
@@ -306,17 +319,43 @@ class PosteriorService:
             khat=float(out['khat']),
             mean=mean.tolist(),
             # device-side index: fetch one scalar, not the whole history
-            final_loss=float(out['value_history'][-1]))
+            final_loss=float(fetch_global(out['value_history'][-1])))
         if best is not None:
             res['best'] = int(best)
             res['n_starts'] = n_starts
         return res
 
 
+def _stringify_nonfinite(obj):
+    """Replace non-finite floats with the strings ``'inf'``/``'-inf'``/
+    ``'nan'`` so the payload is valid (RFC-8259) JSON while still carrying
+    the vacuous-bound information."""
+    import math
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return 'nan' if math.isnan(obj) else (
+            'inf' if obj > 0 else '-inf')
+    if isinstance(obj, dict):
+        return {k: _stringify_nonfinite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_stringify_nonfinite(v) for v in obj]
+    return obj
+
+
 def _make_handler(service):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, obj, status=200):
-            body = json.dumps(obj).encode()
+            # Non-finite floats are legitimate payloads here (a vacuous
+            # Wasserstein bound is inf by design, khat can be NaN on a
+            # degenerate tail) but `Infinity`/`NaN` are not valid JSON —
+            # a strict client (JavaScript JSON.parse, Go encoding/json)
+            # would fail to parse exactly the responses that report a
+            # vacuous bound.  Fast path: standard dump with allow_nan
+            # off; only on failure walk the object and stringify the
+            # non-finite leaves ('inf'/'-inf'/'nan').
+            try:
+                body = json.dumps(obj, allow_nan=False).encode()
+            except ValueError:
+                body = json.dumps(_stringify_nonfinite(obj)).encode()
             self.send_response(status)
             self.send_header('Content-Type', 'application/json')
             self.send_header('Content-Length', str(len(body)))
@@ -418,14 +457,22 @@ def start_server(service, port=8080, host='127.0.0.1'):
 def _param_from_checkpoint(path):
     """Served variational parameter from an optimizer checkpoint.
 
-    Checkpoints come in two shapes, and they must be told apart before any
-    averaging — the entries spell the kind:
+    Checkpoints come in three shapes, and they must be told apart before
+    any averaging — the entries spell the kind:
 
     * **adagrad resumable** (`checkpoint.adagrad_optimize_resumable`):
       ``params`` is the full ``(n_iters, P)`` iterate history and ``i`` the
       completed count — serve the tail-quarter mean, the same fit
       `adagrad_optimize` reports (reference tail averaging:
       viabel/vb.py:375-376).
+    * **adagrad resumable, no-history mode** (``return_history=False``, the
+      large-P format): no iterate history exists; ``tail_sum`` is the
+      running sum of post-update parameters from the tail quarter of the
+      FULL run (``3 * n_iters // 4``, with ``n_iters = values.shape[0]``).
+      Once the run is past that point the served parameter is
+      ``tail_sum / (i - 3 * n_iters // 4)`` — the same smoothed fit the
+      driver returns; before it, ``tail_sum`` is all zeros and the current
+      iterate ``param`` is the best available estimate.
     * **multichain IA** (`optimizers._chains_run_segmented`, written by the
       CLI's ``rmsprop_ia``/``adam_ia`` with ``--checkpoint-path``): ``params``
       is the *current per-chain* ``(n_chains, P)`` parameters and ``hist``
@@ -460,10 +507,63 @@ def _param_from_checkpoint(path):
         if 0 < i_done <= params.shape[0]:
             return params[3 * i_done // 4:i_done].mean(axis=0)
         return load_checkpoint_entry(path, 'param')
+    if 'tail_sum' in names and 'i' in names and 'values' in names:
+        # adagrad resumable, no-history mode (round-4 review: this format
+        # used to fall through to the raw last iterate even for a
+        # completed run)
+        i_done = int(load_checkpoint_entry(path, 'i'))
+        n_iters = load_checkpoint_entry(path, 'values').shape[0]
+        tail_start = 3 * n_iters // 4
+        if i_done > tail_start:
+            return (load_checkpoint_entry(path, 'tail_sum')
+                    / (i_done - tail_start))
+        # tail accumulation has not started: the current iterate is the
+        # best available estimate
+        return load_checkpoint_entry(path, 'param')
     if 'param' in names:
         return load_checkpoint_entry(path, 'param')
     with np.load(path) as d:
         return d[d.files[0]]
+
+
+def _fit_from_config(cfg, model, family, objective):
+    """Fit the served parameter the way the CLI would for the same config
+    (round-4 review: this path used to silently run adagrad on an unsplit
+    key for every config): the same optimizer choice (`cfg.optimizer`),
+    checkpoint path, and 3-way key split (`__main__._cmd_run`), so one
+    config yields one fitted posterior regardless of the entry point."""
+    import jax
+    import jax.numpy as jnp
+    opt_key, _, _ = jax.random.split(jax.random.PRNGKey(cfg.seed), 3)
+    init = family.init_param()
+    if cfg.optimizer == 'adagrad':
+        if cfg.checkpoint_path:
+            from .checkpoint import adagrad_optimize_resumable
+            var_param, _, _, _ = adagrad_optimize_resumable(
+                cfg.n_iters, objective, init,
+                checkpoint_path=cfg.checkpoint_path, key=opt_key,
+                learning_rate=cfg.learning_rate,
+                learning_rate_end=cfg.learning_rate_end)
+        else:
+            from .optimizers import adagrad_optimize
+            var_param, _, _, _ = adagrad_optimize(
+                cfg.n_iters, objective, init, key=opt_key,
+                learning_rate=cfg.learning_rate,
+                learning_rate_end=cfg.learning_rate_end)
+        return var_param
+    from .optimizers import (adam_IA_optimize_with_rhat,
+                             rmsprop_IA_optimize_with_rhat)
+    optimizer = (rmsprop_IA_optimize_with_rhat
+                 if cfg.optimizer == 'rmsprop_ia'
+                 else adam_IA_optimize_with_rhat)
+    out = optimizer(cfg.n_iters, objective, init, model.dim,
+                    key=opt_key, learning_rate=cfg.learning_rate,
+                    learning_rate_end=cfg.learning_rate_end,
+                    n_optimisers=cfg.n_chains,
+                    checkpoint_path=cfg.checkpoint_path)
+    avg_means, avg_sigmas = out[2], out[3]
+    return jnp.asarray(np.concatenate([avg_means[0][-1],
+                                       avg_sigmas[0][-1]]))
 
 
 def main(argv=None):
@@ -476,10 +576,7 @@ def main(argv=None):
     p.add_argument('--host', default='127.0.0.1')
     args = p.parse_args(argv)
 
-    import jax
-    import jax.numpy as jnp
     from .config import ExperimentConfig, build
-    from .optimizers import adagrad_optimize
 
     with open(args.config) as f:
         cfg = ExperimentConfig.from_json(f.read())
@@ -487,12 +584,9 @@ def main(argv=None):
     if args.param:
         var_param = _param_from_checkpoint(args.param)
     else:
-        print('no --param given; fitting {} iters...'.format(cfg.n_iters))
-        var_param, _, _, _ = adagrad_optimize(
-            cfg.n_iters, objective, family.init_param(),
-            key=jax.random.PRNGKey(cfg.seed),
-            learning_rate=cfg.learning_rate,
-            learning_rate_end=cfg.learning_rate_end)
+        print('no --param given; fitting {} iters with {}...'.format(
+            cfg.n_iters, cfg.optimizer))
+        var_param = _fit_from_config(cfg, model, family, objective)
     service = PosteriorService(model, family, var_param, seed=cfg.seed)
     print('serving {} / {} on {}:{}'.format(model.name, family.name,
                                             args.host, args.port))
