@@ -43,6 +43,39 @@ def test_sharded_log_weight_stats_matches_local(mesh):
                                    rtol=1e-12, err_msg=k)
 
 
+def test_sharded_log_weight_stats_2d_matches_raveled(mesh):
+    """Round-4 review: a (n, m) input's local reductions run over every
+    element but `n` used ``shape[0]``, silently scaling every statistic by
+    m.  A multi-dimensional input must match the unsharded counterpart's
+    ravel semantics."""
+    lw = 1.5 * jax.random.normal(jax.random.PRNGKey(7), (8000, 3),
+                                 dtype=jnp.float64)
+    s_sharded = sharded_log_weight_stats(shard_over(lw, mesh, 'sample'),
+                                         mesh)
+    s_local = log_weight_stats(lw)  # ravels internally
+    assert s_sharded['n'] == 24000
+    for k in ['log_rescale', 'mean_rescaled_alpha', 'std_rescaled_alpha',
+              'mean_lw', 'std_lw']:
+        np.testing.assert_allclose(float(s_sharded[k]), float(s_local[k]),
+                                   rtol=1e-12, err_msg=k)
+
+
+def test_sharded_all_bounds_accepts_model_instance(mesh):
+    """Round-4 review: a `Model` instance (unhashable NamedTuple) used to
+    leak an opaque unhashable-type error from the program cache; the
+    public sharded API applies the same `log_prob` unwrap the pipelines
+    do."""
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    vp = jnp.asarray([0.0, 0.0, 0.5, 0.5], dtype=jnp.float64)
+    res = sharded_all_bounds(model, fam, vp, 8000, jax.random.PRNGKey(0),
+                             mesh)
+    ref = sharded_all_bounds(model.log_prob, fam, vp, 8000,
+                             jax.random.PRNGKey(0), mesh)
+    np.testing.assert_allclose(float(res['d2']), float(ref['d2']),
+                               rtol=1e-12)
+
+
 def test_sharded_log_weight_stats_f32_large_mean(mesh):
     """std_lw must survive f32 with |mean| >> std (mean ~ -500, std ~ 1 is
     routine for log-weights): the one-pass E[x^2]-E[x]^2 form cancels

@@ -219,6 +219,40 @@ def test_multistart_mesh_sharded_matches_unsharded():
             plain['bounds'][k]['d2'], rel=1e-8, abs=1e-12)
 
 
+def test_batched_pipelines_accept_sample_named_run_axis():
+    """Round-4 review: a 1-axis mesh named 'sample' carrying the run axis
+    (axis == sample_axis, the natural call on make_mesh's default sample
+    mesh) used to take the 2-D fused path and crash deep in shard_map with
+    a DuplicateSpecError; it must fall back to the 1-D placement and match
+    the unsharded run."""
+    from viabel_tpu import validated_vi_multistart, validated_vi_sweep
+    from viabel_tpu.parallel import make_mesh
+    mesh = make_mesh(axis_names=('sample',), shape=(8,))
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(model.dim)
+    obj = black_box_klvi(fam, model.log_prob, 20)
+    init = jnp.zeros(fam.var_param_dim, dtype=jnp.float64)
+    kw = dict(objective_and_grad=obj, n_bound_samples=4000,
+              key=jax.random.PRNGKey(23))
+    plain = validated_vi_multistart(model.log_prob, fam, init, 100,
+                                    n_starts=8, **kw)
+    placed = validated_vi_multistart(model.log_prob, fam, init, 100,
+                                     n_starts=8, mesh=mesh, axis='sample',
+                                     **kw)
+    np.testing.assert_allclose(placed['opt_param'], plain['opt_param'],
+                               rtol=1e-12)
+    assert placed['best'] == plain['best']
+
+    lrs = [0.005 * (i + 1) for i in range(8)]
+    plain_sw = validated_vi_sweep(model.log_prob, fam, init, 100,
+                                  learning_rates=lrs, **kw)
+    placed_sw = validated_vi_sweep(model.log_prob, fam, init, 100,
+                                   learning_rates=lrs, mesh=mesh,
+                                   axis='sample', **kw)
+    np.testing.assert_allclose(placed_sw['opt_param'],
+                               plain_sw['opt_param'], rtol=1e-12)
+
+
 def test_multistart_mesh_requires_divisible_starts():
     from viabel_tpu import validated_vi_multistart
     from viabel_tpu.parallel import make_mesh

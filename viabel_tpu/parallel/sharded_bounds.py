@@ -91,11 +91,17 @@ def _build_log_weight_stats(mesh, alpha, axis, n_total):
 def sharded_log_weight_stats(log_weights, mesh, alpha=2.0, axis='sample'):
     """`viabel_tpu.bounds.log_weight_stats` over a mesh-sharded array.
 
-    `log_weights` must be sharded along `axis` (see
+    `log_weights` must be sharded along `axis` at dim 0 (see
     `viabel_tpu.parallel.shard_over`).  Returns a replicated stats dict
     consumable by `divergence_bound(..., _stats=...)`.
+
+    Like the unsharded counterpart (which ravels), a multi-dimensional
+    input is treated as one flat pool of log-weights: the local reductions
+    already run over every element, and `n` is the total element count —
+    round-4 review: using ``shape[0]`` here silently scaled every statistic
+    of an (n, m) input by m.
     """
-    n_total = log_weights.shape[0]
+    n_total = int(np.prod(log_weights.shape))
     stats = _build_log_weight_stats(mesh, float(alpha), axis, n_total)
     out = stats(log_weights)
     out['n'] = n_total
@@ -121,6 +127,27 @@ def sharded_sample_stats(samples, mesh, axis='sample'):
     return _build_sample_stats(mesh, axis, samples.shape[0])(samples)
 
 
+def _draw_and_score_locals(family, log_density, vp, key, n_local, n_total,
+                           axis, alpha, with_moments):
+    """The per-device fused draw -> score -> psum-stats body (must run
+    inside a `shard_map` over `axis`): per-device keys via `fold_in` of the
+    mesh index, `n_local` family draws, log-weights against `log_density`,
+    and the collective statistics (+ central moments when `with_moments`).
+
+    One definition shared by `sharded_all_bounds`, `validated_vi(mesh=)`'s
+    bound stage, and the 2-D batched pipelines (round-4 review: the body
+    was written three times and fixes had to land in three places).
+    """
+    idx = jax.lax.axis_index(axis)
+    k_local = jax.random.fold_in(key, idx)
+    samples = family.sample(k_local, vp, n_local)
+    lw_local = log_density(samples) - family.log_prob(vp, samples)
+    stats = _stats_from_locals(lw_local, alpha, n_total, axis)
+    cm = (_central_moments_from_locals(samples, n_total, axis)
+          if with_moments else None)
+    return samples, lw_local, stats, cm
+
+
 @lru_cache(maxsize=64)
 def _build_local_estimate(model_log_prob, family, mesh, axis, n_local,
                           n_samples, alpha, compute_moments, return_samples):
@@ -138,14 +165,11 @@ def _build_local_estimate(model_log_prob, family, mesh, axis, n_local,
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
              out_specs=out_specs)
     def local_estimate(vp, k):
-        idx = jax.lax.axis_index(axis)
-        k_local = jax.random.fold_in(k, idx)
-        samples = family.sample(k_local, vp, n_local)
-        lw_local = model_log_prob(samples) - family.log_prob(vp, samples)
-        stats = _stats_from_locals(lw_local, alpha, n_samples, axis)
-        if compute_moments:
-            stats.update(_central_moments_from_locals(samples, n_samples,
-                                                      axis))
+        samples, lw_local, stats, cm = _draw_and_score_locals(
+            family, model_log_prob, vp, k, n_local, n_samples, axis, alpha,
+            compute_moments)
+        if cm is not None:
+            stats.update(cm)
         if return_samples:
             return stats, lw_local, samples
         return stats, lw_local
@@ -184,13 +208,15 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
     n_local = n_samples // n_dev
     var_param = jnp.asarray(var_param)
 
+    from ..utils import _hashable_log_density
     local_estimate = _build_local_estimate(
-        model_log_prob, family, mesh, axis, n_local, n_samples, float(alpha),
-        moment_bound_fn is None, return_samples)
+        _hashable_log_density(model_log_prob), family, mesh, axis, n_local,
+        n_samples, float(alpha), moment_bound_fn is None, return_samples)
     out = local_estimate(var_param, key)
     stats, lw_sharded = out[0], out[1]
     samples_sharded = out[2] if return_samples else None
-    stats = {k_: v for k_, v in stats.items()}
+    # copy before adding 'n': the dict came out of the cached program
+    stats = dict(stats)
     stats['n'] = n_samples
 
     d2, log_norm_bound = divergence_bound(

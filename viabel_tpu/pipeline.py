@@ -41,18 +41,7 @@ def _default_objective(var_family, log_density, n_mc_samples):
                           presampled=presampled)
 
 
-def _hashable_log_density(log_density):
-    """Densities are static jit arguments, so they must be hashable; a
-    `Model` instance (NamedTuple holding numpy arrays) is not — unwrap its
-    `log_prob`, the same fallback `experiments.get_samples_and_log_weights`
-    applies."""
-    try:
-        hash(log_density)
-        return log_density
-    except TypeError:
-        if hasattr(log_density, 'log_prob'):
-            return log_density.log_prob
-        raise
+from .utils import _hashable_log_density  # noqa: E402  (shared unwrap)
 
 
 def _optimize_and_average(obj, n_iters, window, learning_rate, epsilon,
@@ -204,8 +193,7 @@ def _pipeline_run_sharded(obj, var_family, log_density, n_iters,
     bit-identical to composing the sharded estimators by hand.
     """
     from jax.sharding import PartitionSpec as P
-    from .parallel.sharded_bounds import (_central_moments_from_locals,
-                                          _stats_from_locals)
+    from .parallel.sharded_bounds import _draw_and_score_locals
     from .parallel.sharded_psis import psislw_sharded, sharded_psis_moments
 
     opt_key, draw_key = jax.random.split(key)
@@ -220,16 +208,12 @@ def _pipeline_run_sharded(obj, var_family, log_density, n_iters,
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
              out_specs=(P(), P(axis), P(axis, None)))
     def local_draw(vp, k):
-        idx = jax.lax.axis_index(axis)
-        k_local = jax.random.fold_in(k, idx)
-        samples = var_family.sample(k_local, vp, n_local)
-        lw_local = log_density(samples) - var_family.log_prob(vp, samples)
-        stats = _stats_from_locals(lw_local, alpha, n_bound_samples, axis)
+        samples, lw_local, stats, cm = _draw_and_score_locals(
+            var_family, log_density, vp, k, n_local, n_bound_samples, axis,
+            alpha, need_empirical)
         if need_empirical:
             # psum-reduced central moments (the sharded counterpart of the
             # single-device empirical fallback)
-            cm = _central_moments_from_locals(samples, n_bound_samples,
-                                              axis)
             stats['C2'], stats['C4'] = cm['C2'], cm['C4']
         return stats, lw_local, samples
 
@@ -367,8 +351,7 @@ def _one_sharded_run(obj, var_family, log_density, n_iters, n_bound_samples,
     its statistics, PSIS tail fit, and corrected moments ride `sample_axis`
     collectives.
     """
-    from .parallel.sharded_bounds import (_central_moments_from_locals,
-                                          _stats_from_locals)
+    from .parallel.sharded_bounds import _draw_and_score_locals
     from .parallel.sharded_psis import _psis_moments_local, _smooth_local
 
     opt_key, draw_key = jax.random.split(key)
@@ -376,16 +359,10 @@ def _one_sharded_run(obj, var_family, log_density, n_iters, n_bound_samples,
         obj, n_iters, window, learning_rate, epsilon,
         learning_rate_end, unroll, init_param, opt_key)
 
-    sidx = jax.lax.axis_index(sample_axis)
-    k_local = jax.random.fold_in(draw_key, sidx)
-    samples = var_family.sample(k_local, opt_param, n_local)
-    lw_local = (log_density(samples)
-                - var_family.log_prob(opt_param, samples))
-    stats = _stats_from_locals(lw_local, alpha, n_bound_samples,
-                               sample_axis)
+    samples, lw_local, stats, cm = _draw_and_score_locals(
+        var_family, log_density, opt_param, draw_key, n_local,
+        n_bound_samples, sample_axis, alpha, need_empirical)
     if need_empirical:
-        cm = _central_moments_from_locals(samples, n_bound_samples,
-                                          sample_axis)
         moments = {2: cm['C2'], 4: cm['C4']}
     else:
         moments = _closed_form_moments(var_family, opt_param, alpha)
@@ -614,9 +591,13 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
         keys = jax.device_put(
             keys, NamedSharding(mesh, P(*([axis] + [None] * (keys.ndim
                                                              - 1)))))
-        if (sample_axis is not None and sample_axis in mesh.axis_names
+        if (sample_axis is not None and sample_axis != axis
+                and sample_axis in mesh.axis_names
                 and mesh.shape[sample_axis] > 1):
-            # both mesh axes in one fused program
+            # both mesh axes in one fused program (sample_axis == axis is
+            # a 1-axis mesh named like the sample axis: the run axis owns
+            # it, so the 1-D placement below applies — a 2-D spec would be
+            # PartitionSpec(axis, axis), a DuplicateSpecError)
             if n_bound_samples % mesh.shape[sample_axis]:
                 raise ValueError(
                     'the mesh {} axis size ({}) must divide '
@@ -763,9 +744,13 @@ def validated_vi_sweep(log_density, var_family, init_param, n_iters, *,
         lrs_dev = jax.device_put(lrs_dev, lr_sharding)
         if lr_ends_dev is not None:
             lr_ends_dev = jax.device_put(lr_ends_dev, lr_sharding)
-        if (sample_axis is not None and sample_axis in mesh.axis_names
+        if (sample_axis is not None and sample_axis != axis
+                and sample_axis in mesh.axis_names
                 and mesh.shape[sample_axis] > 1):
-            # both mesh axes in one fused program
+            # both mesh axes in one fused program (sample_axis == axis is
+            # a 1-axis mesh named like the sample axis: the run axis owns
+            # it, so the 1-D placement below applies — a 2-D spec would be
+            # PartitionSpec(axis, axis), a DuplicateSpecError)
             if n_bound_samples % mesh.shape[sample_axis]:
                 raise ValueError(
                     'the mesh {} axis size ({}) must divide '
