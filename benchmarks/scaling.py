@@ -22,8 +22,12 @@ numbers split into three tiers (benchmarks/SCALING.md interprets them):
 
 Usage:
   python benchmarks/scaling.py [--n 2500000] [--devices 8] [--reps 3]
-                               [--two-process] [--json PATH]
+                               [--two-process] [--nprocs 4] [--json PATH]
   python benchmarks/scaling.py --tpu-anchor [--n 2500000] [--json PATH]
+
+`--nprocs` widens the cross-process modes beyond the default 2 ranks:
+each rank owns 2 virtual devices, so ``--nprocs 4`` forms an 8-device
+mesh spanning 4 OS-process controllers (tier 2c).
 
 `--tpu-anchor` records tier 4: the same fused pass timed on the real TPU
 chip (1-device mesh, mean-field t AND full-rank t families) — the absolute
@@ -67,6 +71,30 @@ def _bound_pass_timer(model, fam, vp, mesh, n, key, reps):
         one_pass(jax.random.fold_in(key, rep))
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def _spawn_workers(nprocs, n, reps, mode):
+    """Launch `nprocs` scaling_worker.py ranks (2 virtual devices each)
+    sharing one Gloo coordinator; returns their parsed JSON outputs."""
+    import socket
+    s = socket.socket()
+    s.bind(('127.0.0.1', 0))
+    port = str(s.getsockname()[1])
+    s.close()
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'scaling_worker.py')
+    env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(nprocs), port, str(n),
+         str(reps), mode],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+        for i in range(nprocs)]
+    outs = []
+    for pr in procs:
+        out_b, err = pr.communicate(timeout=1800)
+        assert pr.returncode == 0, err.decode()[-2000:]
+        outs.append(json.loads(out_b.decode().strip().splitlines()[-1]))
+    return outs
 
 
 def _collective_accounting(n, d, n_dev, tail_len):
@@ -225,6 +253,10 @@ def main():
     p.add_argument('--n', type=int, default=2500000)
     p.add_argument('--reps', type=int, default=3)
     p.add_argument('--two-process', action='store_true')
+    p.add_argument('--nprocs', type=int, default=2,
+                   help='process count for the cross-process modes (each '
+                        'rank owns 2 virtual devices; 4 procs -> an '
+                        '8-device mesh spanning 4 controllers)')
     p.add_argument('--two-process-multistart', action='store_true',
                    help='record tier 2b: the 2-D fused multistart timed '
                         'across a real 2-process Gloo boundary vs '
@@ -317,15 +349,18 @@ def main():
     # accounting models
     if args.two_process_multistart:
         from viabel_tpu import black_box_klvi, validated_vi_multistart
-        mesh22 = make_mesh(axis_names=('chain', 'sample'), shape=(2, 2),
-                           devices=jax.devices()[:4])
+        # chain size = process count (each rank owns 2 devices and one
+        # chain row of the (nprocs, 2) mesh); K = nprocs starts
+        c = args.nprocs
+        mesh2d = make_mesh(axis_names=('chain', 'sample'), shape=(c, 2),
+                           devices=jax.devices()[:2 * c])
         obj = black_box_klvi(fam, model.log_prob, 100, presampled=True)
 
         def ms_pass(k):
             out = validated_vi_multistart(
-                model.log_prob, fam, vp, 2000, n_starts=2,
+                model.log_prob, fam, vp, 2000, n_starts=c,
                 perturb_scale=0.1, objective_and_grad=obj,
-                n_bound_samples=n, key=k, learning_rate=.01, mesh=mesh22)
+                n_bound_samples=n, key=k, learning_rate=.01, mesh=mesh2d)
             return out
         out = ms_pass(jax.random.PRNGKey(0))
         t_sp = float('inf')
@@ -334,66 +369,41 @@ def main():
             out = ms_pass(jax.random.fold_in(jax.random.PRNGKey(0),
                                              rep + 1))
             t_sp = min(t_sp, time.perf_counter() - t0)
-        print('2-D multistart single-process (2x2 of 8 virtual): {:.3f}s'
-              .format(t_sp))
+        print('2-D multistart single-process ({}x2 of {} virtual): {:.3f}s'
+              .format(c, args.devices, t_sp))
 
-        import socket
-        s = socket.socket()
-        s.bind(('127.0.0.1', 0))
-        port = str(s.getsockname()[1])
-        s.close()
-        worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              'scaling_worker.py')
-        env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
-        procs = [subprocess.Popen(
-            [sys.executable, worker, str(i), '2', port, str(n),
-             str(args.reps), 'multistart2d'],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
-            for i in range(2)]
-        outs = []
-        for pr in procs:
-            out_b, err = pr.communicate(timeout=1800)
-            assert pr.returncode == 0, err.decode()[-2000:]
-            outs.append(json.loads(out_b.decode().strip().splitlines()[-1]))
-        assert outs[0]['d2'] == outs[1]['d2'], 'ranks disagree'
+        outs = _spawn_workers(args.nprocs, n, args.reps, 'multistart2d')
+        for o in outs[1:]:
+            assert o['d2'] == outs[0]['d2'], 'ranks disagree'
+            assert o['khat'] == outs[0]['khat'], 'ranks disagree'
         best = max(o['best_s'] for o in outs)
-        results['tiers']['two_process_multistart2d'] = dict(
+        tier_key = ('two_process_multistart2d' if args.nprocs == 2
+                    else 'multiprocess{}_multistart2d'.format(args.nprocs))
+        results['tiers'][tier_key] = dict(
+            n_procs=args.nprocs,
             n_global_devices=outs[0]['n_global'], best_s=best,
             single_process_s=t_sp, d2=outs[0]['d2'], khat=outs[0]['khat'])
-        print('2-D multistart 2-process (2x2 over Gloo): {:.3f}s vs '
-              '{:.3f}s single-process; ranks agree on d2/khat'.format(
-                  best, t_sp))
+        print('2-D multistart {}-process ({}x2 over Gloo): {:.3f}s vs '
+              '{:.3f}s single-process; all ranks agree on d2/khat'.format(
+                  args.nprocs, c, best, t_sp))
 
-    # tier 2: 2-process Gloo run at the same size
+    # tier 2: cross-process Gloo run at the same size
     if args.two_process:
-        import socket
-        s = socket.socket()
-        s.bind(('127.0.0.1', 0))
-        port = str(s.getsockname()[1])
-        s.close()
-        worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              'scaling_worker.py')
-        env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
-        procs = [subprocess.Popen(
-            [sys.executable, worker, str(i), '2', port, str(n),
-             str(args.reps)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
-            for i in range(2)]
-        outs = []
-        for pr in procs:
-            out, err = pr.communicate(timeout=1200)
-            assert pr.returncode == 0, err.decode()[-2000:]
-            outs.append(json.loads(out.decode().strip().splitlines()[-1]))
-        assert outs[0]['d2'] == outs[1]['d2'], 'ranks disagree'
-        assert outs[0]['khat'] == outs[1]['khat'], 'ranks disagree'
+        outs = _spawn_workers(args.nprocs, n, args.reps, 'bounds')
+        for o in outs[1:]:
+            assert o['d2'] == outs[0]['d2'], 'ranks disagree'
+            assert o['khat'] == outs[0]['khat'], 'ranks disagree'
         best = max(o['best_s'] for o in outs)  # slower rank bounds the pass
-        results['tiers']['two_process'] = dict(
+        tier_key = ('two_process' if args.nprocs == 2
+                    else 'multiprocess{}'.format(args.nprocs))
+        results['tiers'][tier_key] = dict(
+            n_procs=args.nprocs,
             n_global_devices=outs[0]['n_global'], best_s=best,
             samples_per_s=n / best, d2=outs[0]['d2'],
             khat=outs[0]['khat'])
-        print('2-process (4 global devices, Gloo): {:.3f}s '
-              '({:.3g} samples/s); ranks agree on d2/khat'.format(
-                  best, n / best))
+        print('{}-process ({} global devices, Gloo): {:.3f}s '
+              '({:.3g} samples/s); all ranks agree on d2/khat'.format(
+                  args.nprocs, outs[0]['n_global'], best, n / best))
 
     if args.json:
         # merge into an existing file so one JSON carries all tiers

@@ -52,15 +52,19 @@ def main():
     key = jax.random.PRNGKey(0)
 
     if mode == 'multistart2d':
-        # tier 2b: the complete 2-start fused multistart (optimize +
-        # sharded bounds + PSIS per start) across the process boundary
+        # tier 2b/2c: the complete fused multistart (optimize + sharded
+        # bounds + PSIS per start) across the process boundary.  The mesh
+        # is (n_global/2, 2): each rank owns 2 devices = one chain row,
+        # with K = n_global/2 starts, so 4 ranks drive a (4, 2) mesh
+        # spanning 4 controllers
         from viabel_tpu import black_box_klvi, validated_vi_multistart
-        mesh = make_mesh(axis_names=('chain', 'sample'), shape=(2, 2))
+        c = info['global_devices'] // 2
+        mesh = make_mesh(axis_names=('chain', 'sample'), shape=(c, 2))
         obj = black_box_klvi(fam, model.log_prob, 100, presampled=True)
 
         def one_pass(k):
             out = validated_vi_multistart(
-                model.log_prob, fam, vp, 2000, n_starts=2,
+                model.log_prob, fam, vp, 2000, n_starts=c,
                 perturb_scale=0.1, objective_and_grad=obj,
                 n_bound_samples=n, key=k, learning_rate=.01, mesh=mesh)
             return out
