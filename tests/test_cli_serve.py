@@ -406,6 +406,34 @@ def test_param_from_checkpoint_kinds(tmp_path):
                                np.asarray(init))
 
 
+def test_bounds_fall_back_for_df_le_4_families(monkeypatch, capsys):
+    """Round-4 review: a Student-t family with 2 < df <= 4 has no finite
+    closed-form 4th moment and `family_moment_bounds` raised out of serve
+    /bounds and the CLI bound stage; it now returns None and every bound
+    pass falls back to empirical central moments of the bound samples."""
+    from viabel_tpu import mean_field_t_variational_family
+    from viabel_tpu.bounds import family_moment_bounds
+    from viabel_tpu.models import funnel_model
+    from viabel_tpu.serve import PosteriorService
+
+    fam = mean_field_t_variational_family(2, 3.0)
+    vp = jnp.asarray([0.0, 0.0, -0.3, -0.3], dtype=jnp.float64)
+    assert family_moment_bounds(fam, vp) is None
+
+    service = PosteriorService(funnel_model(), fam, vp)
+    out = service.bounds(65536)          # sharded (8-device) branch
+    assert np.isfinite(out['log_norm_bound']) and np.isfinite(out['khat'])
+    monkeypatch.setattr(service, '_fit_mesh', lambda *a: None)
+    out1 = service.bounds(65536)         # unsharded branch
+    assert np.isfinite(out1['log_norm_bound']) and np.isfinite(out1['khat'])
+
+    # the CLI bound stage end to end with the same family
+    from viabel_tpu.__main__ import main
+    main(['run', '--model', 'funnel', '--df', '3', '--n-iters', '100',
+          '--n-mc', '10', '--bound-samples', '4000'])
+    assert 'khat' in capsys.readouterr().out
+
+
 def test_serve_json_sanitizes_nonfinite():
     """Round-4 review: a vacuous bound (inf) or degenerate khat (NaN) must
     still serialize as valid RFC-8259 JSON — `Infinity`/`NaN` tokens break
@@ -633,7 +661,7 @@ def test_posterior_service_bounds_uses_mesh(monkeypatch):
     from viabel_tpu.bounds import all_bounds, family_moment_bounds
     var_param, _, cov = service._snapshot()
     import jax
-    lw = service._lw(var_param, jax.random.PRNGKey(0), 65536)
+    _, lw = service._lw(var_param, jax.random.PRNGKey(0), 65536)
     ref = all_bounds(lw, q_var=cov,
                      moment_bound_fn=family_moment_bounds(service.family,
                                                           var_param))

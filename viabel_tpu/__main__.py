@@ -154,6 +154,10 @@ def _cmd_run(args):
         from .parallel import auto_mesh
         mesh, note = auto_mesh(1, cfg.bound_samples)
         _report_mesh(mesh, note, ' (bound stage)')
+        # mb is None for families without a finite closed-form 4th moment
+        # (t with df <= 4): both branches then fall back to empirical
+        # central moments of the bound samples
+        mb = family_moment_bounds(family, opt_param)
         if mesh is not None:
             # multi-device host: shard the MC bound pass over the sample
             # axis (each device draws/scores its shard; psum'd statistics,
@@ -162,20 +166,18 @@ def _cmd_run(args):
             res, lw = sharded_all_bounds(
                 model.log_prob, family, opt_param, cfg.bound_samples,
                 bound_key, mesh, q_var=np.asarray(cov),
-                moment_bound_fn=family_moment_bounds(family, opt_param),
-                return_log_weights=True)
+                moment_bound_fn=mb, return_log_weights=True)
             khat = psislw_sharded(lw, mesh)[1]
         else:
-            _, lw = get_samples_and_log_weights(
+            samples, lw = get_samples_and_log_weights(
                 model.log_prob, family, opt_param, cfg.bound_samples,
                 bound_key)
             # lw stays on device: all_bounds' statistics pass is a fused
             # device reduction and a bulk host fetch through the tunnel is
             # expensive
             res = all_bounds(lw,
-                             q_var=np.asarray(cov),
-                             moment_bound_fn=family_moment_bounds(
-                                 family, opt_param))
+                             samples=samples if mb is None else None,
+                             q_var=np.asarray(cov), moment_bound_fn=mb)
             khat = psislw(lw)[1]
         print_bounds(res)
         print('khat = {:.3f}{}'.format(

@@ -58,8 +58,20 @@ def family_moment_bounds(family, var_param):
     — eager per-scalar evaluation pays the tunnel's ~25-35 ms dispatch floor
     per op (CLAUDE.md).  The compiled program is cached per family identity
     (the `_pad_objective` convention).
+
+    Returns ``None`` when the family has no finite closed-form 4th moment
+    (a Student-t with 2 < df <= 4, which the constructors accept) — callers
+    then fall back to empirical central moments of the bound samples, the
+    same fallback `all_bounds(samples=...)`, `sharded_all_bounds`
+    (``moment_bound_fn=None``), and the fused pipeline apply (round-4
+    review: this used to raise out of serve /bounds and the CLI bound
+    stage for df <= 4 families).
     """
-    c2, c4 = np.asarray(_family_moments_prog(family)(var_param), dtype=float)
+    try:
+        c2, c4 = np.asarray(_family_moments_prog(family)(var_param),
+                            dtype=float)
+    except ValueError:  # pth_moment: 'df must be greater than p'
+        return None
     moments = {2: c2, 4: c4}
     return lambda p: moments[p]
 
@@ -73,16 +85,7 @@ class MonteCarloErrorWarning(UserWarning):
 
 
 @partial(jax.jit, static_argnames=('alpha',))
-def log_weight_stats(log_weights, alpha=2.0):
-    """Fused single-pass statistics of a log-weight vector.
-
-    Returns a dict with ``log_rescale`` (max), ``mean_rescaled_alpha`` and
-    ``std_rescaled_alpha`` (moments of ``exp(lw - max)**alpha``), and
-    ``mean_lw`` / ``std_lw`` (moments of the raw log-weights).  These are all
-    the sample statistics `divergence_bound` needs
-    (reference: viabel/bounds.py:169-176 and the MC-error check at
-    viabel/bounds.py:183-192), computed in one read of the array.
-    """
+def _log_weight_stats_arrays(log_weights, alpha):
     lw = jnp.ravel(log_weights)
     log_rescale = jnp.max(lw)
     w_alpha = jnp.exp(lw - log_rescale) ** alpha
@@ -92,8 +95,28 @@ def log_weight_stats(log_weights, alpha=2.0):
         std_rescaled_alpha=jnp.std(w_alpha),
         mean_lw=jnp.mean(lw),
         std_lw=jnp.std(lw),
-        n=lw.shape[0],
     )
+
+
+def log_weight_stats(log_weights, alpha=2.0):
+    """Fused single-pass statistics of a log-weight vector.
+
+    Returns a dict with ``log_rescale`` (max), ``mean_rescaled_alpha`` and
+    ``std_rescaled_alpha`` (moments of ``exp(lw - max)**alpha``), and
+    ``mean_lw`` / ``std_lw`` (moments of the raw log-weights).  These are all
+    the sample statistics `divergence_bound` needs
+    (reference: viabel/bounds.py:169-176 and the MC-error check at
+    viabel/bounds.py:183-192), computed in one read of the array.
+
+    The array statistics come out of one jitted program; ``n`` is attached
+    OUTSIDE the jit as a host int, computed from the static shape —
+    round-4 review: a jit-output ``n`` is a device scalar, and
+    `divergence_bound`'s ``sqrt(n)`` then forced an extra blocking
+    device->host fetch per call, past `_fetch_stats`'s one packed transfer.
+    """
+    out = dict(_log_weight_stats_arrays(log_weights, float(alpha)))
+    out['n'] = int(np.prod(log_weights.shape))
+    return out
 
 
 @jax.jit

@@ -317,14 +317,16 @@ def _optimize_and_check_results(log_density, var_family, objective_and_grad,
         print()
         with Timer('bound estimation (CUBO + ELBO, {:,} MC samples)'.format(
                 n_samples), sync=lambda: ()):
-            _, log_weights = get_samples_and_log_weights(
+            samples, log_weights = get_samples_and_log_weights(
                 log_density, var_family, opt_param, n_samples, bound_key)
             var_dist_cov = np.asarray(var_family.mean_and_cov(opt_param)[1])
+            # None for df <= 4 t families: empirical fallback from samples
             moment_bound_fn = family_moment_bounds(var_family, opt_param)
-            other_results.update(all_bounds(log_weights,
-                                            q_var=var_dist_cov,
-                                            moment_bound_fn=moment_bound_fn,
-                                            log_norm_bound=elbo))
+            other_results.update(all_bounds(
+                log_weights,
+                samples=samples if moment_bound_fn is None else None,
+                q_var=var_dist_cov, moment_bound_fn=moment_bound_fn,
+                log_norm_bound=elbo))
         if verbose:
             print()
             print_bounds(other_results)

@@ -86,7 +86,9 @@ class PosteriorService:
 
         def lw(vp, key, n):
             s = family.sample(key, vp, n)
-            return model.log_prob(s) - family.log_prob(vp, s)
+            # samples ride along (on device) for the empirical-moment
+            # fallback when the family has no closed-form 4th moment
+            return s, model.log_prob(s) - family.log_prob(vp, s)
         self._lw = jax.jit(lw, static_argnums=2)
 
     def _next_key(self):
@@ -152,6 +154,10 @@ class PosteriorService:
         var_param, _, cov = self._snapshot()
         # rounding the MC size up to a bucket only tightens the estimates
         n = min(self._bucket(n), self.max_bound_samples)
+        # mb is None for families without a finite closed-form 4th moment
+        # (t with df <= 4): both branches then fall back to empirical
+        # central moments of the bound samples
+        mb = family_moment_bounds(self.family, var_param)
         mesh = self._fit_mesh(1, n)
         if mesh is not None:
             # multi-device host: the MC pass shards over the sample axis
@@ -163,16 +169,14 @@ class PosteriorService:
             from .parallel import psislw_sharded, sharded_all_bounds
             res, lw_dev = sharded_all_bounds(
                 self.model.log_prob, self.family, var_param, n,
-                self._next_key(), mesh, q_var=cov,
-                moment_bound_fn=family_moment_bounds(self.family,
-                                                     var_param),
+                self._next_key(), mesh, q_var=cov, moment_bound_fn=mb,
                 return_log_weights=True)
             res['khat'] = psislw_sharded(lw_dev, mesh)[1]
             return {k: float(v) for k, v in res.items()}
-        lw_dev = self._lw(var_param, self._next_key(), n)
-        res = all_bounds(lw_dev, q_var=cov,
-                         moment_bound_fn=family_moment_bounds(self.family,
-                                                              var_param))
+        samples_dev, lw_dev = self._lw(var_param, self._next_key(), n)
+        res = all_bounds(lw_dev,
+                         samples=samples_dev if mb is None else None,
+                         q_var=cov, moment_bound_fn=mb)
         res['khat'] = psislw(lw_dev)[1]
         return {k: float(v) for k, v in res.items()}
 
