@@ -273,6 +273,42 @@ def test_resumable_rejects_changed_hyperparameters(tmp_path):
                                    save_every=30, learning_rate=0.01)
 
 
+def test_resumable_accepts_typed_prng_keys(tmp_path):
+    """Round-4 review: the checkpoint templates' bare np.asarray(key)
+    crashed for typed keys (`jax.random.key`); the key-data view handles
+    both flavors, and the two flavors' checkpoints are interchangeable
+    (identical stored uint32 data for the same seed)."""
+    import viabel_tpu.checkpoint as ckpt
+    from viabel_tpu import rmsprop_IA_optimize_with_rhat
+
+    fam = mean_field_gaussian_variational_family(1)
+    log_density = _gaussian_target(jnp.asarray([0.5]), jnp.asarray([0.0]))
+    obj = black_box_klvi(fam, log_density, 20)
+    init = jnp.zeros(2, dtype=jnp.float64)
+
+    path = str(tmp_path / 'typed.npz')
+    out_t = ckpt.adagrad_optimize_resumable(100, obj, init,
+                                            checkpoint_path=path,
+                                            key=jax.random.key(0),
+                                            save_every=50)
+    # the old-style flavor of the same seed resumes the typed-key
+    # checkpoint (completed run: validation passes, no-op segments)
+    out_o = ckpt.adagrad_optimize_resumable(100, obj, init,
+                                            checkpoint_path=path,
+                                            key=jax.random.PRNGKey(0),
+                                            save_every=50)
+    np.testing.assert_array_equal(np.asarray(out_t[0]),
+                                  np.asarray(out_o[0]))
+
+    # the segmented IA chains driver with a typed key
+    path2 = str(tmp_path / 'typed_chains.npz')
+    out = rmsprop_IA_optimize_with_rhat(
+        60, obj, init, 1, key=jax.random.key(1), n_optimisers=2,
+        rhat_window=20, tail_avg_iters=20, checkpoint_path=path2,
+        save_every=30)
+    assert np.all(np.isfinite(out[1]))
+
+
 def test_throughput_meter():
     from viabel_tpu.utils import ThroughputMeter
     meter = ThroughputMeter(reps=2)

@@ -100,6 +100,22 @@ def load_checkpoint_entry(path, name):
         return data[matches[0]]
 
 
+def _host_key_data(key):
+    """Host uint32 view of a PRNG key array for the checkpoint template.
+
+    Bare ``np.asarray`` fails on BOTH key flavors a caller may legally
+    hold (round-4 review): typed keys (``jax.random.key``) refuse numpy
+    conversion outright, and chain-axis-sharded key arrays under a
+    multi-controller mesh span non-addressable devices.  Typed keys are
+    unwrapped to their raw uint32 data (identical layout to old-style
+    keys, so the two flavors resume each other's checkpoints) and the
+    fetch goes through `parallel.fetch_global`."""
+    if jnp.issubdtype(getattr(key, 'dtype', None), jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    from .parallel import fetch_global
+    return fetch_global(key)
+
+
 def _entries_equal(a, b):
     """Value equality for checkpoint scalars; NaN-tolerant for floats (a
     ``learning_rate_end`` of None is stored as NaN)."""
@@ -235,7 +251,7 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
 
     template = dict(
         i=np.zeros((), np.int64),
-        key=np.asarray(key),
+        key=_host_key_data(key),
         param=np.zeros(P, np_dtype),
         grads=np.zeros((window, P), np_dtype),
         log_norms=np.zeros(window, np_dtype),
@@ -257,7 +273,10 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
         template['tail_sum'] = np.zeros(P, np_dtype)
     if os.path.exists(checkpoint_path):
         state = _load_resume_state(checkpoint_path, template)
-        _validate_resume(state, template, checkpoint_path, 'key', key,
+        # the template's key entry is the host key-data view, so the
+        # stored-vs-current comparison is host-host for any key flavor
+        _validate_resume(state, template, checkpoint_path, 'key',
+                         template['key'],
                          value_entries=('learning_rate', 'epsilon',
                                         'learning_rate_end'))
         start = int(state['i'])

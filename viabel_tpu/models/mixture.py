@@ -11,6 +11,17 @@ __all__ = ['normal_mixture_model']
 
 
 def normal_mixture_model(locs=(-2.0, 2.0), scale=1.0):
+    """1-D mixture density.
+
+    Shape convention (deliberately looser than the multivariate zoo's
+    ``(dim,) -> scalar``): `log_prob` is ELEMENTWISE over a 1-D input —
+    ``(n,)`` is a batch of n scalar points returning ``(n,)``, exactly the
+    reference notebook's scalar-workload semantics (normal-mixture.ipynb
+    cell 2, where densities map over sample vectors).  A ``(n, 1)``
+    family-shaped batch also returns ``(n,)``.  For the strict
+    single-point contract use `mcmc._scalar_log_prob`, which reshapes any
+    model's output to ``()``.
+    """
     locs = np.asarray(locs, dtype=float)
 
     def log_prob(x):

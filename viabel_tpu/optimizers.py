@@ -550,9 +550,10 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
     np_dtype = np.dtype(inits.dtype)  # no device fetch: dtype is metadata
     cap = min(hist_cap, n_iters) if hist_cap is not None else n_iters
 
+    from .checkpoint import _host_key_data
     template = dict(
         i=np.zeros((), np.int64),
-        keys=np.asarray(keys),
+        keys=_host_key_data(keys),
         params=np.zeros((n_chains, P), np_dtype),
         v=np.zeros((n_chains, P), np_dtype),
         m=np.zeros((n_chains, P), np_dtype),
@@ -579,13 +580,17 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
         state = _load_resume_state(checkpoint_path, template)
         # reject a changed configuration or PRNG key stream — either would
         # silently corrupt the resumed trajectory (see checkpoint.py)
-        _validate_resume(state, template, checkpoint_path, 'keys', keys,
+        # template['keys'] is the host key-data view (see checkpoint.py's
+        # _host_key_data) so the comparison is host-host for any key flavor
+        _validate_resume(state, template, checkpoint_path, 'keys',
+                         template['keys'],
                          value_entries=('kind', 'learning_rate', 'epsilon',
                                         'learning_rate_end', 'avg_start'))
         start = int(state['i'])
     else:
         state = template
-        state['params'] = np.asarray(inits)
+        from .parallel import fetch_global
+        state['params'] = fetch_global(inits)  # inits may be chain-sharded
         start = 0
 
     params = jnp.asarray(state['params'])
@@ -627,11 +632,16 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
                                                             length - keep:]
             i += length
             state['i'] = np.asarray(i)
-            state['params'] = fetch_global(params)
-            state['v'] = fetch_global(v)
-            state['m'] = fetch_global(m)
-            state['avg'] = fetch_global(avg)
             if checkpoint_path is not None:
+                # the optimizer-state fetches are only needed when a
+                # checkpoint is actually written: in progress-only mode
+                # they would pay 4 device->host syncs (a dispatch floor
+                # each through the tunnel) per segment for nothing —
+                # the final state is fetched once after the loop
+                state['params'] = fetch_global(params)
+                state['v'] = fetch_global(v)
+                state['m'] = fetch_global(m)
+                state['avg'] = fetch_global(avg)
                 from .checkpoint import save_checkpoint
                 save_checkpoint(checkpoint_path, state)
             if progress:
@@ -656,8 +666,15 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
     first_kept = i_done - kept
     order = (first_kept + np.arange(kept)) % cap
     chains = state['hist'][:, order]
-    return ((jnp.asarray(values), jnp.asarray(lns), jnp.asarray(chains)),
-            jnp.asarray(state['params']), jnp.asarray(state['avg']), i_done)
+    # host numpy straight through: the only caller (_ia_optimize) fetches
+    # every one of these to the host immediately, so re-wrapping the
+    # run's largest buffers in jnp.asarray would pay a pointless
+    # host->device->host round trip (~2 s/MB each way through the
+    # tunnel); `params`/`avg` are the live device carries, fetched once
+    # here (fetch_global: they may be chain-sharded across processes)
+    from .parallel import fetch_global
+    return ((values, lns, chains),
+            fetch_global(params), fetch_global(avg), i_done)
 
 
 def _ia_postprocess(K, chains, values, log_norms, rhat_window,
