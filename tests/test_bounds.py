@@ -147,6 +147,49 @@ def test_central_moments_c4_matches_closed_form():
                                rtol=2e-2)
 
 
+def test_central_moments_with_cov_flag():
+    """``with_cov=False`` omits the covariance — the (d, n) x (n, d) matmul
+    is the expensive part of the pass at production sample counts, and its
+    result is dead when the caller already holds q_var (round-4 review:
+    every serve /bounds and CLI bound-stage call paid it).  C2/C4 are
+    identical in both modes."""
+    from viabel_tpu.bounds import central_moments
+    x = jax.random.normal(jax.random.PRNGKey(3), (2000, 3),
+                          dtype=jnp.float64)
+    lean = central_moments(x, with_cov=False)
+    full = central_moments(x)
+    assert 'cov' not in lean
+    assert full['cov'].shape == (3, 3)
+    np.testing.assert_allclose(float(lean['C2']), float(full['C2']),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(lean['C4']), float(full['C4']),
+                               rtol=1e-12)
+
+
+def test_family_moment_bounds_df_guard_narrow_and_cached():
+    """Only the families' static df guard maps to the empirical fallback;
+    any other ValueError from a custom family's `pth_moment` propagates
+    (round-4 review: a blanket except silently converted real defects into
+    the fallback).  The df <= 4 verdict is cached per family identity so
+    repeated calls skip the failed re-trace (a failed trace is not cached
+    by jax.jit)."""
+    from viabel_tpu import mean_field_t_variational_family
+    from viabel_tpu.bounds import (_families_without_closed_moments,
+                                   family_moment_bounds)
+    fam = mean_field_t_variational_family(2, df=3.0)  # 2 < df <= 4
+    vp = jnp.zeros(4)
+    assert family_moment_bounds(fam, vp) is None
+    assert fam in _families_without_closed_moments
+    assert family_moment_bounds(fam, vp) is None  # cached verdict
+
+    def broken_pth_moment(var_param, p):
+        raise ValueError('boom: not the df guard')
+
+    broken = fam._replace(pth_moment=broken_pth_moment)
+    with pytest.raises(ValueError, match='boom'):
+        family_moment_bounds(broken, vp)
+
+
 def test_wasserstein_bounds_large_d2_no_overflow_warning():
     """A terrible fit gives a huge d2; the log-space evaluation must not
     emit numpy overflow RuntimeWarnings, stay monotone, and saturate to

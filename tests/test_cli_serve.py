@@ -339,6 +339,23 @@ def test_log_prob_bucket_clamped_to_limit():
         service.log_prob(np.zeros((1001, 2)))
 
 
+def test_sample_bucket_clamped_to_limit():
+    """/sample's draw bucket never exceeds max_bound_samples even when the
+    power-of-two bucket would (round-4 review: n=600 on a limit of 1000
+    drew a 1024-sample program, ~2x past the cap for n just under it),
+    mirroring the /log_prob clamp above."""
+    service = _make_service(max_bound_samples=1000)
+    drawn = []
+    real_sample = service._sample
+    service._sample = lambda key, vp, n: drawn.append(n) or real_sample(
+        key, vp, n)
+    out = service.sample(600)
+    assert out.shape == (600, 2)
+    assert drawn == [1000]
+    with pytest.raises(ValueError, match='exceeds the service limit'):
+        service.sample(1001)
+
+
 def test_param_from_checkpoint_kinds(tmp_path):
     """`serve --param` disambiguates checkpoint kinds: the multichain IA
     checkpoint's (n_chains, P) 'params' entry must NOT be tail-averaged by

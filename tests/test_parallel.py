@@ -306,7 +306,7 @@ def test_every_sharded_builder_returns_a_jitted_program(mesh):
         _build_local_estimate(
             funnel_model().log_prob,
             mean_field_gaussian_variational_family(2), mesh, 'sample',
-            100, 800, 2.0, True, False),
+            100, 800, 2.0, True, True, False),
     ]
     for prog in progs:
         assert isinstance(prog, jax.stages.Wrapped), prog

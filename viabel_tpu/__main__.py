@@ -31,13 +31,10 @@ def _report_mesh(mesh, note, context=''):
 
 def _cmd_run(args):
     import jax
-    import jax.numpy as jnp
     from .config import ExperimentConfig, build
     from .experiments import (check_approx_accuracy,
                               get_samples_and_log_weights, print_bounds)
     from .bounds import all_bounds, family_moment_bounds
-    from .optimizers import (adagrad_optimize, adam_IA_optimize_with_rhat,
-                             rmsprop_IA_optimize_with_rhat)
     from .psis import psislw
 
     if args.config:
@@ -104,43 +101,22 @@ def _cmd_run(args):
               np.round(np.asarray(out['psis_mean']), 4))
         return
 
-    if cfg.optimizer == 'adagrad':
-        if cfg.checkpoint_path:
-            from .checkpoint import adagrad_optimize_resumable
-            opt_param, _, values, _ = adagrad_optimize_resumable(
-                cfg.n_iters, objective, init,
-                checkpoint_path=cfg.checkpoint_path, key=opt_key,
-                learning_rate=cfg.learning_rate,
-                learning_rate_end=cfg.learning_rate_end)
-        else:
-            progress = not args.quiet
-            if progress and jax.devices()[0].platform == 'axon':
-                # the tunneled remote-compile backend fails to lower the
-                # in-scan debug-callback progress path (libtpu AOT
-                # allocation-assignment bug); fall back to a silent run
-                print('note: in-scan progress reporting is unsupported on '
-                      'the tunneled TPU backend; running without it')
-                progress = False
-            opt_param, _, values, _ = adagrad_optimize(
-                cfg.n_iters, objective, init, key=opt_key,
-                learning_rate=cfg.learning_rate,
-                learning_rate_end=cfg.learning_rate_end,
-                progress=progress)
-    else:
-        optimizer = (rmsprop_IA_optimize_with_rhat
-                     if cfg.optimizer == 'rmsprop_ia'
-                     else adam_IA_optimize_with_rhat)
-        out = optimizer(cfg.n_iters, objective, init, model.dim,
-                        key=opt_key, learning_rate=cfg.learning_rate,
-                        learning_rate_end=cfg.learning_rate_end,
-                        n_optimisers=cfg.n_chains,
-                        checkpoint_path=cfg.checkpoint_path)
-        _, _, avg_means, avg_sigmas = out[:4]
-        opt_param = jnp.asarray(np.concatenate([avg_means[0][-1],
-                                                avg_sigmas[0][-1]]))
-        values = out[4]
+    from .config import fit as fit_config
+    progress = False
+    if cfg.optimizer == 'adagrad' and not cfg.checkpoint_path:
+        progress = not args.quiet
+        if progress and jax.devices()[0].platform == 'axon':
+            # the tunneled remote-compile backend fails to lower the
+            # in-scan debug-callback progress path (libtpu AOT
+            # allocation-assignment bug); fall back to a silent run
+            print('note: in-scan progress reporting is unsupported on '
+                  'the tunneled TPU backend; running without it')
+            progress = False
+    opt_param, values, ia_log = fit_config(cfg, model, family, objective,
+                                           key=opt_key, progress=progress)
+    if ia_log is not None:
         print('iterate-averaging start: mean iter {}, sigma iter {}'.format(
-            out[6]['start_avg_mean_iters'], out[6]['start_avg_sigma_iters']))
+            ia_log['start_avg_mean_iters'], ia_log['start_avg_sigma_iters']))
 
     print('final loss (tail mean): {:.6g}'.format(
         float(np.mean(np.asarray(values)[-max(len(values) // 10, 1):]))))

@@ -50,6 +50,16 @@ def _family_moments_prog(family):
                                          family.pth_moment(vp, 4)]))
 
 
+# family identities whose `pth_moment(-, 4)` raised the df guard: the guard
+# is static family metadata (`df <= p` is checked before any array work),
+# so the verdict is cached and later calls skip the failed re-trace — a
+# failed trace is NOT cached by jax.jit, so without this every serve
+# /bounds or CLI bound pass on a df <= 4 family would re-trace just to
+# raise and catch.  Bounded retention: entries parallel the lru_cache(64)
+# of `_family_moments_prog` (same keys, same lifetime expectations).
+_families_without_closed_moments = set()
+
+
 def family_moment_bounds(family, var_param):
     """A `moment_bound_fn` backed by the family's closed-form moments.
 
@@ -65,12 +75,21 @@ def family_moment_bounds(family, var_param):
     same fallback `all_bounds(samples=...)`, `sharded_all_bounds`
     (``moment_bound_fn=None``), and the fused pipeline apply (round-4
     review: this used to raise out of serve /bounds and the CLI bound
-    stage for df <= 4 families).
+    stage for df <= 4 families).  Only the df guard's ValueError is treated
+    as "no closed form" — any other error from a family's `pth_moment`
+    propagates (round-4 review: a blanket except masked real defects in
+    custom families as a silent fallback).
     """
+    if family in _families_without_closed_moments:
+        return None
     try:
         c2, c4 = np.asarray(_family_moments_prog(family)(var_param),
                             dtype=float)
-    except ValueError:  # pth_moment: 'df must be greater than p'
+    except ValueError as e:  # families.pth_moment's static df guard
+        if 'df must be greater' not in str(e):
+            raise
+        if len(_families_without_closed_moments) < 64:
+            _families_without_closed_moments.add(family)
         return None
     moments = {2: c2, 4: c4}
     return lambda p: moments[p]
@@ -119,13 +138,17 @@ def log_weight_stats(log_weights, alpha=2.0):
     return out
 
 
-@jax.jit
-def central_moments(samples):
+@partial(jax.jit, static_argnames=('with_cov',))
+def central_moments(samples, with_cov=True):
     """Empirical centered norm moments ``C_p = E[ ||x - mean||^p ]``.
 
     Computes C2 and C4 (the two moments `wasserstein_bounds` needs;
-    reference: viabel/bounds.py:130-135) plus the sample covariance matrix
-    (reference: viabel/bounds.py:55-56) in one pass over the samples.
+    reference: viabel/bounds.py:130-135) plus, when ``with_cov``, the sample
+    covariance matrix (reference: viabel/bounds.py:55-56) in one pass over
+    the samples.  Callers that already hold ``q_var`` pass
+    ``with_cov=False`` — the ``(d, n) x (n, d)`` covariance matmul is the
+    expensive part of this pass at production sample counts, and its result
+    would be dead (round-4 review).
 
     The reference's empirical fallback computes ``E[sum_d c_d^4]`` for C4,
     which omits the cross terms of ``E[||c||^4]`` and therefore
@@ -140,11 +163,14 @@ def central_moments(samples):
     norm2 = jnp.sum(c ** 2, axis=1)
     C2 = jnp.mean(norm2)
     C4 = jnp.mean(norm2 ** 2)
-    n = x.shape[0]
-    # f32-pinned: TPU default matmul precision measurably shifts
-    # converged statistics (families._mm); free at d <= ~30
-    cov = jnp.matmul(c.T, c, precision=jax.lax.Precision.HIGHEST) / (n - 1)
-    return dict(C2=C2, C4=C4, cov=cov)
+    out = dict(C2=C2, C4=C4)
+    if with_cov:
+        n = x.shape[0]
+        # f32-pinned: TPU default matmul precision measurably shifts
+        # converged statistics (families._mm); free at d <= ~30
+        out['cov'] = jnp.matmul(c.T, c,
+                                precision=jax.lax.Precision.HIGHEST) / (n - 1)
+    return out
 
 
 _STAT_KEYS = ('log_rescale', 'mean_rescaled_alpha', 'std_rescaled_alpha',
@@ -338,7 +364,10 @@ def all_bounds(log_weights, samples=None, moment_bound_fn=None,
     stats = log_weight_stats(lw, alpha=alpha)
     moments = None
     if samples is not None:
-        moments = central_moments(jnp.asarray(samples))
+        # the covariance is only needed as the q_var fallback; when the
+        # caller supplies q_var the (d, n) x (n, d) matmul would be dead
+        moments = central_moments(jnp.asarray(samples),
+                                  with_cov=q_var is None)
     d2, log_norm_bound = divergence_bound(
         lw, alpha=alpha, log_norm_bound=log_norm_bound,
         return_log_norm_bound=True, _stats=stats)

@@ -125,8 +125,7 @@ def _entries_equal(a, b):
     return np.array_equal(a, b)
 
 
-def _validate_resume(state, template, path, key_entry, key_value,
-                     value_entries=()):
+def _validate_resume(state, template, path, key_entry, value_entries=()):
     """Fail loudly when a checkpoint does not match the resuming run.
 
     Three silent-corruption modes are rejected: a changed run configuration
@@ -137,7 +136,13 @@ def _validate_resume(state, template, path, key_entry, key_value,
     stream mid-trajectory with no error), and changed optimizer
     hyperparameters (`value_entries`, e.g. the learning-rate schedule —
     resuming a run at a different rate would splice two different schedules
-    into one 'smoothed' average with no error)."""
+    into one 'smoothed' average with no error).
+
+    The key comparison reads ``template[key_entry]`` directly: the template
+    holds the host key-data view (`_host_key_data`), so the stored-vs-
+    current comparison is host-host for any key flavor.  (Round-4 review:
+    an earlier signature took the key as a separate argument, which let a
+    caller pass a raw typed/device key and crash `np.asarray`.)"""
     for name, ref in template.items():
         if np.shape(state[name]) != np.shape(ref):
             raise ValueError(
@@ -146,7 +151,7 @@ def _validate_resume(state, template, path, key_entry, key_value,
                 'match the run that wrote the checkpoint'.format(
                     path, name, np.shape(state[name]), np.shape(ref)))
     if not np.array_equal(np.asarray(state[key_entry]),
-                          np.asarray(key_value)):
+                          np.asarray(template[key_entry])):
         raise ValueError(
             'cannot resume from {!r}: it was written under a different PRNG '
             'key; resuming would silently switch the RNG stream mid-run — '
@@ -273,10 +278,7 @@ def adagrad_optimize_resumable(n_iters, objective_and_grad, init_param, *,
         template['tail_sum'] = np.zeros(P, np_dtype)
     if os.path.exists(checkpoint_path):
         state = _load_resume_state(checkpoint_path, template)
-        # the template's key entry is the host key-data view, so the
-        # stored-vs-current comparison is host-host for any key flavor
         _validate_resume(state, template, checkpoint_path, 'key',
-                         template['key'],
                          value_entries=('learning_rate', 'epsilon',
                                         'learning_rate_end'))
         start = int(state['i'])

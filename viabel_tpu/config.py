@@ -12,7 +12,7 @@ import dataclasses
 import json
 from typing import Optional
 
-__all__ = ['ExperimentConfig', 'MODELS', 'FAMILIES', 'build']
+__all__ = ['ExperimentConfig', 'MODELS', 'FAMILIES', 'build', 'fit']
 
 
 def _linear_model(m, cfg):
@@ -124,3 +124,72 @@ def build(cfg):
                                                  model.log_prob, cfg.n_mc,
                                                  presampled=ps)
     return model, family, objective
+
+
+def fit(cfg, model, family, objective, *, key=None, progress=False):
+    """Run the optimizer a config prescribes.
+
+    The ONE fit dispatch shared by the CLI ``run`` command and serve
+    ``/fit`` (round-4 review: the two entry points hand-duplicated the
+    optimizer selection, key split, checkpoint wiring, and
+    iterate-averaging projection, so the next change to either would
+    silently re-open the serve-vs-CLI divergence the duplication was meant
+    to prevent).  One config yields one fitted posterior regardless of the
+    entry point.
+
+    Parameters
+    ----------
+    key : optional PRNG key
+        Optimizer key; defaults to the first of the 3-way split of
+        ``PRNGKey(cfg.seed)`` — exactly the key every entry point derives.
+    progress : bool
+        In-scan progress reporting for the plain adagrad path (callers are
+        responsible for disabling it on the tunneled TPU backend, where the
+        debug-callback path cannot compile — CLAUDE.md).
+
+    Returns
+    -------
+    (var_param, value_history, ia_log) — ``ia_log`` is the IA optimizers'
+    ``optimisation_log`` dict (reference: viabel/vb.py:538-549), None for
+    adagrad.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if key is None:
+        key, _, _ = jax.random.split(jax.random.PRNGKey(cfg.seed), 3)
+    init = family.init_param()
+    if cfg.optimizer == 'adagrad':
+        if cfg.checkpoint_path:
+            from .checkpoint import adagrad_optimize_resumable
+            var_param, _, values, _ = adagrad_optimize_resumable(
+                cfg.n_iters, objective, init,
+                checkpoint_path=cfg.checkpoint_path, key=key,
+                learning_rate=cfg.learning_rate,
+                learning_rate_end=cfg.learning_rate_end)
+        else:
+            from .optimizers import adagrad_optimize
+            var_param, _, values, _ = adagrad_optimize(
+                cfg.n_iters, objective, init, key=key,
+                learning_rate=cfg.learning_rate,
+                learning_rate_end=cfg.learning_rate_end,
+                progress=progress)
+        return var_param, values, None
+    from .optimizers import (adam_IA_optimize_with_rhat,
+                             rmsprop_IA_optimize_with_rhat)
+    optimizer = (rmsprop_IA_optimize_with_rhat
+                 if cfg.optimizer == 'rmsprop_ia'
+                 else adam_IA_optimize_with_rhat)
+    out = optimizer(cfg.n_iters, objective, init, model.dim,
+                    key=key, learning_rate=cfg.learning_rate,
+                    learning_rate_end=cfg.learning_rate_end,
+                    n_optimisers=cfg.n_chains,
+                    checkpoint_path=cfg.checkpoint_path)
+    # serve the first chain's final iterate average (mean block ++ sigma
+    # block) — the reference's per-chain averaging output
+    # (reference: viabel/vb.py:516-536)
+    avg_means, avg_sigmas = out[2], out[3]
+    var_param = jnp.asarray(np.concatenate([np.asarray(avg_means[0][-1]),
+                                            np.asarray(avg_sigmas[0][-1])]))
+    return var_param, out[4], out[6]

@@ -580,10 +580,7 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
         state = _load_resume_state(checkpoint_path, template)
         # reject a changed configuration or PRNG key stream — either would
         # silently corrupt the resumed trajectory (see checkpoint.py)
-        # template['keys'] is the host key-data view (see checkpoint.py's
-        # _host_key_data) so the comparison is host-host for any key flavor
         _validate_resume(state, template, checkpoint_path, 'keys',
-                         template['keys'],
                          value_entries=('kind', 'learning_rate', 'epsilon',
                                         'learning_rate_end', 'avg_start'))
         start = int(state['i'])

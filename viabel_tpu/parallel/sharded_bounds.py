@@ -51,20 +51,24 @@ def _stats_from_locals(lw_local, alpha, n_total, axis):
     )
 
 
-def _central_moments_from_locals(samples_local, n_total, axis):
-    """psum-reduced centered moments C2/C4 + covariance of mesh-sharded
-    samples (runs per device; the collective counterpart of
-    `bounds.central_moments`)."""
+def _central_moments_from_locals(samples_local, n_total, axis, with_cov=True):
+    """psum-reduced centered moments C2/C4 (+ covariance when `with_cov`)
+    of mesh-sharded samples (runs per device; the collective counterpart of
+    `bounds.central_moments`).  Callers that already hold ``q_var`` pass
+    ``with_cov=False`` to skip the dead per-device covariance matmul and
+    its (d, d) psum (round-4 review)."""
     nf = jnp.asarray(n_total, samples_local.dtype)
     mean = jax.lax.psum(jnp.sum(samples_local, axis=0), axis) / nf
     c = samples_local - mean
     norm2 = jnp.sum(c ** 2, axis=1)
-    return dict(
+    out = dict(
         C2=jax.lax.psum(jnp.sum(norm2), axis) / nf,
         C4=jax.lax.psum(jnp.sum(norm2 ** 2), axis) / nf,
-        cov=jax.lax.psum(jnp.matmul(c.T, c,
-            precision=jax.lax.Precision.HIGHEST), axis) / (nf - 1),
     )
+    if with_cov:
+        out['cov'] = jax.lax.psum(jnp.matmul(
+            c.T, c, precision=jax.lax.Precision.HIGHEST), axis) / (nf - 1)
+    return out
 
 
 @lru_cache(maxsize=64)
@@ -128,11 +132,14 @@ def sharded_sample_stats(samples, mesh, axis='sample'):
 
 
 def _draw_and_score_locals(family, log_density, vp, key, n_local, n_total,
-                           axis, alpha, with_moments):
+                           axis, alpha, with_moments, with_cov=False):
     """The per-device fused draw -> score -> psum-stats body (must run
     inside a `shard_map` over `axis`): per-device keys via `fold_in` of the
     mesh index, `n_local` family draws, log-weights against `log_density`,
-    and the collective statistics (+ central moments when `with_moments`).
+    and the collective statistics (+ central moments when `with_moments`,
+    + the sample covariance when additionally `with_cov` — only
+    `sharded_all_bounds` without a caller-supplied ``q_var`` needs it; the
+    fused pipelines use C2/C4 only, so the default skips the dead matmul).
 
     One definition shared by `sharded_all_bounds`, `validated_vi(mesh=)`'s
     bound stage, and the 2-D batched pipelines (round-4 review: the body
@@ -143,14 +150,15 @@ def _draw_and_score_locals(family, log_density, vp, key, n_local, n_total,
     samples = family.sample(k_local, vp, n_local)
     lw_local = log_density(samples) - family.log_prob(vp, samples)
     stats = _stats_from_locals(lw_local, alpha, n_total, axis)
-    cm = (_central_moments_from_locals(samples, n_total, axis)
+    cm = (_central_moments_from_locals(samples, n_total, axis, with_cov)
           if with_moments else None)
     return samples, lw_local, stats, cm
 
 
 @lru_cache(maxsize=64)
 def _build_local_estimate(model_log_prob, family, mesh, axis, n_local,
-                          n_samples, alpha, compute_moments, return_samples):
+                          n_samples, alpha, compute_moments, with_cov,
+                          return_samples):
     """Cached fused sample->score->reduce program for `sharded_all_bounds`.
 
     Keyed on the model/family identities (like `optimizers._pad_objective`):
@@ -167,7 +175,7 @@ def _build_local_estimate(model_log_prob, family, mesh, axis, n_local,
     def local_estimate(vp, k):
         samples, lw_local, stats, cm = _draw_and_score_locals(
             family, model_log_prob, vp, k, n_local, n_samples, axis, alpha,
-            compute_moments)
+            compute_moments, with_cov)
         if cm is not None:
             stats.update(cm)
         if return_samples:
@@ -209,9 +217,13 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
     var_param = jnp.asarray(var_param)
 
     from ..utils import _hashable_log_density
+    compute_moments = moment_bound_fn is None
+    # the covariance is only needed as the q_var fallback; with a
+    # caller-supplied q_var the per-device matmul + (d, d) psum are dead
+    with_cov = compute_moments and q_var is None
     local_estimate = _build_local_estimate(
         _hashable_log_density(model_log_prob), family, mesh, axis, n_local,
-        n_samples, float(alpha), moment_bound_fn is None, return_samples)
+        n_samples, float(alpha), compute_moments, with_cov, return_samples)
     out = local_estimate(var_param, key)
     stats, lw_sharded = out[0], out[1]
     samples_sharded = out[2] if return_samples else None
@@ -223,8 +235,10 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
         None, alpha=alpha, log_norm_bound=log_norm_bound,
         return_log_norm_bound=True, _stats=stats)
     moments = None
-    if moment_bound_fn is None:
-        moments = dict(C2=stats['C2'], C4=stats['C4'], cov=stats['cov'])
+    if compute_moments:
+        moments = dict(C2=stats['C2'], C4=stats['C4'])
+        if with_cov:
+            moments['cov'] = stats['cov']
     results = wasserstein_bounds(d2, samples=None,
                                  moment_bound_fn=moment_bound_fn,
                                  _moments=moments)

@@ -122,7 +122,11 @@ class PosteriorService:
             raise ValueError('n = {} exceeds the service limit {}'.format(
                 n, self.max_bound_samples))
         var_param, _, _ = self._snapshot()
-        draws = self._sample(self._next_key(), var_param, self._bucket(n))
+        # clamp the bucket to the declared limit, like /log_prob and
+        # /bounds — an unclamped bucket for a request just under the cap
+        # would compile and draw a program ~2x past it
+        draws = self._sample(self._next_key(), var_param,
+                             min(self._bucket(n), self.max_bound_samples))
         return np.asarray(draws[:n])
 
     def moments(self):
@@ -533,41 +537,10 @@ def _param_from_checkpoint(path):
 def _fit_from_config(cfg, model, family, objective):
     """Fit the served parameter the way the CLI would for the same config
     (round-4 review: this path used to silently run adagrad on an unsplit
-    key for every config): the same optimizer choice (`cfg.optimizer`),
-    checkpoint path, and 3-way key split (`__main__._cmd_run`), so one
-    config yields one fitted posterior regardless of the entry point."""
-    import jax
-    import jax.numpy as jnp
-    opt_key, _, _ = jax.random.split(jax.random.PRNGKey(cfg.seed), 3)
-    init = family.init_param()
-    if cfg.optimizer == 'adagrad':
-        if cfg.checkpoint_path:
-            from .checkpoint import adagrad_optimize_resumable
-            var_param, _, _, _ = adagrad_optimize_resumable(
-                cfg.n_iters, objective, init,
-                checkpoint_path=cfg.checkpoint_path, key=opt_key,
-                learning_rate=cfg.learning_rate,
-                learning_rate_end=cfg.learning_rate_end)
-        else:
-            from .optimizers import adagrad_optimize
-            var_param, _, _, _ = adagrad_optimize(
-                cfg.n_iters, objective, init, key=opt_key,
-                learning_rate=cfg.learning_rate,
-                learning_rate_end=cfg.learning_rate_end)
-        return var_param
-    from .optimizers import (adam_IA_optimize_with_rhat,
-                             rmsprop_IA_optimize_with_rhat)
-    optimizer = (rmsprop_IA_optimize_with_rhat
-                 if cfg.optimizer == 'rmsprop_ia'
-                 else adam_IA_optimize_with_rhat)
-    out = optimizer(cfg.n_iters, objective, init, model.dim,
-                    key=opt_key, learning_rate=cfg.learning_rate,
-                    learning_rate_end=cfg.learning_rate_end,
-                    n_optimisers=cfg.n_chains,
-                    checkpoint_path=cfg.checkpoint_path)
-    avg_means, avg_sigmas = out[2], out[3]
-    return jnp.asarray(np.concatenate([avg_means[0][-1],
-                                       avg_sigmas[0][-1]]))
+    key for every config, then duplicated the CLI's dispatch by hand —
+    parity is now structural: both entry points call `config.fit`)."""
+    from .config import fit
+    return fit(cfg, model, family, objective)[0]
 
 
 def main(argv=None):
