@@ -130,6 +130,62 @@ def test_effective_sample_size_edge_cases():
         effective_sample_size(noise[:, :3])           # < 4 iterations
 
 
+def test_effective_sample_size_matches_stan_formulation():
+    """Pin the exact Stan/arviz estimator against a direct O(n^2)
+    transcription, in particular rho_0 = 1 hard-coded (round-4 review:
+    applying the combined-autocorrelation formula at lag 0 gives
+    rho_0 = 1 - (W - acov0)/var_plus < 1, underestimating tau and
+    inflating every ESS — ~1% on 4x200 iid chains, growing as n
+    shrinks)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.signal import lfilter
+    from viabel_tpu.diagnostics import effective_sample_size
+
+    def stan_ess(chains):
+        c, n = chains.shape
+        acov = np.empty((c, n))
+        for j in range(c):
+            xc = chains[j] - chains[j].mean()
+            for t in range(n):
+                acov[j, t] = np.dot(xc[:n - t], xc[t:]) / n
+        acov0 = acov[:, 0].mean()
+        W = acov0 * n / (n - 1)
+        B = np.var(chains.mean(axis=1), ddof=1)
+        var_plus = acov0 + B
+        rho = 1.0 - (W - acov.mean(axis=0)) / var_plus
+        rho[0] = 1.0                      # the Stan/arviz lag-0 convention
+        s, prev = 0.0, np.inf
+        for k in range(n // 2):
+            pair = rho[2 * k] + rho[2 * k + 1]
+            if pair <= 0:
+                break
+            prev = min(pair, prev)
+            s += prev
+        tau = max(-1.0 + 2.0 * s, 1.0 / np.log10(n + 1))
+        return c * n / tau
+
+    noise = np.asarray(jax.random.normal(jax.random.PRNGKey(11), (4, 200),
+                                         dtype=jnp.float64))
+    ar1 = lfilter([1.0], [1.0, -0.6], noise, axis=1)
+    for chains in (noise, ar1):
+        np.testing.assert_allclose(effective_sample_size(chains),
+                                   stan_ess(chains), rtol=1e-10)
+
+
+def test_split_rhat_rejects_too_short_chains():
+    """Fewer than 4 post-warmup iterations used to divide by zero and
+    return NaN/inf R-hat silently, poisoning downstream convergence gates
+    (round-4 review); now it raises like `effective_sample_size`."""
+    from viabel_tpu.diagnostics import compute_R_hat
+    chains = np.random.RandomState(0).randn(2, 503, 3)
+    with pytest.raises(ValueError, match='at least 4'):
+        compute_R_hat(chains, warmup=500)
+    # 4 post-warmup iterations is the minimum and works
+    var_hat, r = compute_R_hat(chains, warmup=499)
+    assert np.all(np.isfinite(r))
+
+
 def test_compute_posterior_moments_vs_direct():
     rng = np.random.RandomState(4)
     N, D = 40, 3

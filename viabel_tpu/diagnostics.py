@@ -32,6 +32,13 @@ def _split_rhat(chains):
     """
     *lead, n_chains, n_iters, K = chains.shape
     n_half = n_iters // 2
+    if n_half < 2:
+        # the within-half variance divides by (n_half - 1): fewer than 4
+        # iterations silently returned NaN/inf R-hat and poisoned
+        # downstream convergence gates (round-4 review; same guard as
+        # `_ess_batched`)
+        raise ValueError('need at least 4 (post-warmup) iterations per '
+                         'chain for split R-hat; got {}'.format(n_iters))
     psi = chains[..., :2 * n_half, :].reshape(*lead, n_chains * 2, n_half, K)
     psi_dot_j = psi.mean(axis=-2)                           # (..., 2c, K)
     psi_dot_dot = psi_dot_j.mean(axis=-2, keepdims=True)    # (..., 1, K)
@@ -157,8 +164,13 @@ def _ess_batched(chains):
     safe_var_plus = np.where(ok, var_plus, 1.0)
     # combined autocorrelation: biased per-chain acov means at each lag,
     # with only the lag-0 within-chain variance W unbiased (the standard
-    # Stan/arviz formulation)
+    # Stan/arviz formulation).  rho_0 is hard-coded to 1 exactly as
+    # Stan/arviz do — applying the combined formula at lag 0 gives
+    # 1 - (W - acov0)/var_plus < 1, which underestimates tau and inflates
+    # every ESS by ~2(W - acov0)/var_plus (round-4 review; measured ~1%
+    # high on 4x200 iid chains, growing as n shrinks)
     rho = 1.0 - (W[:, None] - acov.mean(axis=1)) / safe_var_plus[:, None]
+    rho[:, 0] = 1.0
     # Geyer pairs P_k = rho_{2k} + rho_{2k+1}: keep the initial positive
     # sequence (truncate at the first non-positive pair), force it monotone
     # non-increasing, then tau = -1 + 2 * sum_k P_k

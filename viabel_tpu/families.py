@@ -336,10 +336,12 @@ def init_from_moments(family, mean, cov):
 
     Convenience the reference lacks (its notebooks assemble init vectors by
     hand, e.g. eight-schools.ipynb cell 16 concatenates NUTS moments).
-    For Student-t families the scale is set so the *distribution covariance*
-    matches `cov` (dividing out the df/(df-2) inflation is deliberately
-    skipped — matching the reference notebooks, which also set log-scales
-    directly from target stdevs).
+    For Student-t families the *scale* is set from `cov` directly, so the
+    distribution covariance comes out ``df/(df-2) * cov`` — dividing out
+    the df/(df-2) inflation is deliberately skipped, matching the reference
+    notebooks, which also set log-scales directly from target stdevs
+    (round-4 review: the previous wording claimed the distribution
+    covariance itself matches `cov`, which contradicts the code).
     """
     import numpy as np
     mean = np.asarray(mean, dtype=float)
