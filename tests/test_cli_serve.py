@@ -422,6 +422,27 @@ def test_param_from_checkpoint_kinds(tmp_path):
     np.testing.assert_allclose(_param_from_checkpoint(raw),
                                np.asarray(init))
 
+    # round-5: every writer stamps an explicit self-describing `format`
+    # entry, dispatched in ONE shared helper; the name heuristics survive
+    # only as the legacy fallback for pre-format checkpoints
+    from viabel_tpu.checkpoint import (FORMAT_ADAGRAD_HISTORY,
+                                       FORMAT_ADAGRAD_TAIL, FORMAT_CHAINS,
+                                       checkpoint_format)
+    assert checkpoint_format(multi) == FORMAT_CHAINS
+    assert checkpoint_format(single) == FORMAT_ADAGRAD_HISTORY
+    assert checkpoint_format(lean) == FORMAT_ADAGRAD_TAIL
+    # the hand-written 'partial' file has no format entry -> legacy
+    # heuristic identifies it; a bare parameter npz is no format at all
+    assert checkpoint_format(partial) == FORMAT_ADAGRAD_TAIL
+    assert checkpoint_format(raw) is None
+    # an unknown explicit id (a future format) errors instead of silently
+    # falling through to the heuristics
+    unknown = str(tmp_path / 'unknown.npz')
+    save_checkpoint(unknown, dict(format=np.asarray('chains/v999'),
+                                  param=cur))
+    with pytest.raises(ValueError, match='declares format'):
+        checkpoint_format(unknown)
+
 
 def test_bounds_fall_back_for_df_le_4_families(monkeypatch, capsys):
     """Round-4 review: a Student-t family with 2 < df <= 4 has no finite
@@ -454,17 +475,20 @@ def test_bounds_fall_back_for_df_le_4_families(monkeypatch, capsys):
 def test_serve_json_sanitizes_nonfinite():
     """Round-4 review: a vacuous bound (inf) or degenerate khat (NaN) must
     still serialize as valid RFC-8259 JSON — `Infinity`/`NaN` tokens break
-    strict clients on exactly the responses reporting the vacuous case."""
+    strict clients on exactly the responses reporting the vacuous case.
+    Round-5 advisor: the replacement must keep a STABLE per-field schema
+    (`number | null`), never change a field's JSON type to string on the
+    degenerate responses."""
     import math
 
-    from viabel_tpu.serve import _stringify_nonfinite
+    from viabel_tpu.serve import _null_nonfinite
     obj = dict(bounds=dict(W2=math.inf, d2=0.5, mean_error=-math.inf),
                khat=math.nan, xs=[1.0, math.inf])
-    body = json.dumps(_stringify_nonfinite(obj), allow_nan=False)
+    body = json.dumps(_null_nonfinite(obj), allow_nan=False)
     back = json.loads(body)
-    assert back['bounds'] == dict(W2='inf', d2=0.5, mean_error='-inf')
-    assert back['khat'] == 'nan'
-    assert back['xs'] == [1.0, 'inf']
+    assert back['bounds'] == dict(W2=None, d2=0.5, mean_error=None)
+    assert back['khat'] is None
+    assert back['xs'] == [1.0, None]
 
 
 def test_service_sample_is_capped():

@@ -17,7 +17,7 @@ importable from the submodules or from the names re-exported here.
 from .bounds import (all_bounds, divergence_bound, error_bounds,
                      wasserstein_bounds)
 from .distributions import multivariate_t_logpdf
-from .families import (VariationalFamily,
+from .families import (NoClosedFormMomentError, VariationalFamily,
                        full_rank_gaussian_variational_family,
                        init_from_moments,
                        mean_field_gaussian_variational_family,
@@ -47,7 +47,7 @@ __all__ = [
     # bounds core (the reference's installable default; viabel/bounds.py)
     'all_bounds', 'error_bounds', 'wasserstein_bounds', 'divergence_bound',
     # families (viabel/vb.py:42-233)
-    'VariationalFamily',
+    'VariationalFamily', 'NoClosedFormMomentError',
     'mean_field_gaussian_variational_family',
     'mean_field_t_variational_family',
     'full_rank_gaussian_variational_family',

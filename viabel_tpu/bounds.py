@@ -50,14 +50,21 @@ def _family_moments_prog(family):
                                          family.pth_moment(vp, 4)]))
 
 
-# family identities whose `pth_moment(-, 4)` raised the df guard: the guard
-# is static family metadata (`df <= p` is checked before any array work),
-# so the verdict is cached and later calls skip the failed re-trace — a
-# failed trace is NOT cached by jax.jit, so without this every serve
-# /bounds or CLI bound pass on a df <= 4 family would re-trace just to
-# raise and catch.  Bounded retention: entries parallel the lru_cache(64)
-# of `_family_moments_prog` (same keys, same lifetime expectations).
-_families_without_closed_moments = set()
+# family identities whose `pth_moment(-, 4)` raised the no-closed-form
+# guard: the guard is static family metadata (`df <= p` is checked before
+# any array work), so the verdict is cached and later calls skip the failed
+# re-trace — a failed trace is NOT cached by jax.jit, so without this every
+# serve /bounds or CLI bound pass on a df <= 4 family would re-trace just
+# to raise and catch.  An LRU OrderedDict (not a capped set): hot families
+# stay cached and cold ones are evicted, instead of new families being
+# rejected once the cap fills and then paying the failed re-trace per call
+# on a serve hot path (round-5 advisor finding).  Capacity parallels the
+# lru_cache(64) of `_family_moments_prog` (same keys, same lifetime
+# expectations).
+from collections import OrderedDict  # noqa: E402
+
+_families_without_closed_moments = OrderedDict()
+_NO_CLOSED_MOMENTS_CAP = 64
 
 
 def family_moment_bounds(family, var_param):
@@ -67,7 +74,8 @@ def family_moment_bounds(family, var_param):
     in ONE cached compiled program and fetches both scalars in ONE transfer
     — eager per-scalar evaluation pays the tunnel's ~25-35 ms dispatch floor
     per op (CLAUDE.md).  The compiled program is cached per family identity
-    (the `_pad_objective` convention).
+    (the `_pad_objective` convention; the family constructors are memoized,
+    so reconstructing a family hits the same cache entry).
 
     Returns ``None`` when the family has no finite closed-form 4th moment
     (a Student-t with 2 < df <= 4, which the constructors accept) — callers
@@ -75,21 +83,23 @@ def family_moment_bounds(family, var_param):
     same fallback `all_bounds(samples=...)`, `sharded_all_bounds`
     (``moment_bound_fn=None``), and the fused pipeline apply (round-4
     review: this used to raise out of serve /bounds and the CLI bound
-    stage for df <= 4 families).  Only the df guard's ValueError is treated
-    as "no closed form" — any other error from a family's `pth_moment`
-    propagates (round-4 review: a blanket except masked real defects in
-    custom families as a silent fallback).
+    stage for df <= 4 families).  Only `families.NoClosedFormMomentError`
+    maps to the fallback — any other error from a family's `pth_moment`
+    propagates (round-4/5 reviews: a blanket except masked real defects in
+    custom families, and a message-substring match was one rewording away
+    from the same regression).
     """
+    from .families import NoClosedFormMomentError
     if family in _families_without_closed_moments:
+        _families_without_closed_moments.move_to_end(family)
         return None
     try:
         c2, c4 = np.asarray(_family_moments_prog(family)(var_param),
                             dtype=float)
-    except ValueError as e:  # families.pth_moment's static df guard
-        if 'df must be greater' not in str(e):
-            raise
-        if len(_families_without_closed_moments) < 64:
-            _families_without_closed_moments.add(family)
+    except NoClosedFormMomentError:  # families.pth_moment's static guard
+        _families_without_closed_moments[family] = True
+        if len(_families_without_closed_moments) > _NO_CLOSED_MOMENTS_CAP:
+            _families_without_closed_moments.popitem(last=False)
         return None
     moments = {2: c2, 4: c4}
     return lambda p: moments[p]

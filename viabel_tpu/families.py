@@ -22,6 +22,7 @@ is *fixed* here, not replicated, as is its leftover debug print
 (reference: viabel/vb.py:89).
 """
 import math
+from functools import lru_cache
 from typing import Callable, NamedTuple
 
 import jax
@@ -33,6 +34,7 @@ from .distributions import (chi2_sample, diag_normal_logpdf,
 
 __all__ = [
     'VariationalFamily',
+    'NoClosedFormMomentError',
     'mean_field_gaussian_variational_family',
     'mean_field_t_variational_family',
     'full_rank_gaussian_variational_family',
@@ -41,6 +43,47 @@ __all__ = [
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
+
+
+class NoClosedFormMomentError(ValueError):
+    """Raised by a family's `pth_moment` when the requested moment has no
+    finite closed form (a Student-t with ``2 < df <= p`` — the constructors
+    accept such df, the reference's moment formulas just do not apply;
+    reference: viabel/vb.py:219-230).  A dedicated type so callers
+    (`bounds.family_moment_bounds`, the fused pipeline) can branch to the
+    empirical-moment fallback on exactly this condition without string-
+    matching the message or masking real defects raised as plain
+    ValueError (round-5 advisor finding).  Custom families should raise
+    this same type from their own no-closed-form guards to opt in to the
+    fallback."""
+
+
+def _memoized_constructor(build):
+    """Memoize a family constructor on normalized (int dim, float df) args.
+
+    `VariationalFamily` holds closures, so two calls of
+    ``t_variational_family(2, 40)`` would otherwise be DISTINCT objects —
+    and every compiled program keyed on the family identity (the jit caches
+    in `bounds._family_moments_prog`, `pipeline._default_objective`, the
+    sharded builders) would silently recompile when a caller reconstructs
+    the family per call (~minutes per recompile through this environment's
+    remote-compile tunnel; CLAUDE.md conventions).  Memoizing the
+    constructors makes reconstruction free: same arguments, same object,
+    caches hit.  Arguments are normalized (``int(dim)``, ``float(df)``)
+    before keying so ``f(2, 3)``, ``f(2, 3.0)``, and ``f(dim=2, df=3)``
+    all return the one cached family.
+    """
+    cached = lru_cache(maxsize=256)(build)
+
+    def constructor(dim, df=None):
+        if df is None:
+            return cached(int(dim))
+        return cached(int(dim), float(df))
+
+    constructor.__name__ = build.__name__
+    constructor.__qualname__ = build.__qualname__
+    constructor.__doc__ = build.__doc__
+    return constructor
 
 
 def _mm(a, b):
@@ -100,6 +143,7 @@ class VariationalFamily(NamedTuple):
         return jnp.zeros(self.var_param_dim, dtype=dtype)
 
 
+@_memoized_constructor
 def mean_field_gaussian_variational_family(dim):
     """Mean-field Gaussian: ``var_param = [mean (d), log_std (d)]``
     (reference: viabel/vb.py:48-82)."""
@@ -144,6 +188,7 @@ def mean_field_gaussian_variational_family(dim):
                              base_sample, transform)
 
 
+@_memoized_constructor
 def mean_field_t_variational_family(dim, df):
     """Mean-field Student-t: ``var_param = [mean (d), log_scale (d)]``
     (reference: viabel/vb.py:140-182).  Entropy drops df-only constants like
@@ -183,7 +228,10 @@ def mean_field_t_variational_family(dim, df):
         if p not in (2, 4):
             raise ValueError('only p = 2 or 4 supported')
         if df <= p:
-            raise ValueError('df must be greater than p')
+            raise NoClosedFormMomentError(
+                'df must be greater than p = {} for a closed-form moment '
+                '(df = {}); callers fall back to empirical central '
+                'moments'.format(p, df))
         _, log_scale = unpack(var_param)
         scales = jnp.exp(log_scale)
         c = df / (df - 2)
@@ -214,6 +262,7 @@ def _chol_param_dim(dim):
     return dim * (dim + 3) // 2
 
 
+@_memoized_constructor
 def full_rank_gaussian_variational_family(dim):
     """Full-rank Gaussian with Cholesky parameterization.
 
@@ -264,6 +313,7 @@ def full_rank_gaussian_variational_family(dim):
                              'full_rank_gaussian', base_sample, transform)
 
 
+@_memoized_constructor
 def t_variational_family(dim, df):
     """Full-rank multivariate Student-t with Cholesky parameterization.
 
@@ -309,7 +359,10 @@ def t_variational_family(dim, df):
         if p not in (2, 4):
             raise ValueError('only p = 2 or 4 supported')
         if df <= p:
-            raise ValueError('df must be greater than p')
+            raise NoClosedFormMomentError(
+                'df must be greater than p = {} for a closed-form moment '
+                '(df = {}); callers fall back to empirical central '
+                'moments'.format(p, df))
         _, L = _unpack_chol(var_param, dim)
         tr_sigma = jnp.sum(L ** 2)
         if p == 2:

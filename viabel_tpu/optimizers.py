@@ -550,8 +550,10 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
     np_dtype = np.dtype(inits.dtype)  # no device fetch: dtype is metadata
     cap = min(hist_cap, n_iters) if hist_cap is not None else n_iters
 
-    from .checkpoint import _host_key_data
+    from .checkpoint import FORMAT_CHAINS, _host_key_data
     template = dict(
+        # explicit self-describing format id (see `checkpoint_format`)
+        format=np.asarray(FORMAT_CHAINS),
         i=np.zeros((), np.int64),
         keys=_host_key_data(keys),
         params=np.zeros((n_chains, P), np_dtype),
@@ -581,8 +583,9 @@ def _chains_run_segmented(obj, kind, n_iters, learning_rate, epsilon,
         # reject a changed configuration or PRNG key stream — either would
         # silently corrupt the resumed trajectory (see checkpoint.py)
         _validate_resume(state, template, checkpoint_path, 'keys',
-                         value_entries=('kind', 'learning_rate', 'epsilon',
-                                        'learning_rate_end', 'avg_start'))
+                         value_entries=('format', 'kind', 'learning_rate',
+                                        'epsilon', 'learning_rate_end',
+                                        'avg_start'))
         start = int(state['i'])
     else:
         state = template

@@ -35,11 +35,26 @@ def shard_over(x, mesh, axis_name, dim=0):
 
 
 def _largest_divisor_leq(n, cap):
-    """Largest d <= cap with n % d == 0 (>= 1; cap is a device count)."""
-    for d in range(cap, 1, -1):
+    """Largest d <= cap with n % d == 0 (>= 1; cap is a device count).
+
+    Enumerates divisor pairs of `n` up to sqrt(n) instead of scanning
+    linearly down from `cap`: `cap` is the attached device count, which on
+    a pod slice reaches hundreds-to-thousands, and the downward scan was
+    O(cap) Python work per `auto_mesh` call (round-5 advisor finding);
+    this is O(sqrt(n)) with n a sample count (<= ~2000 steps at the 4e6
+    service cap), independent of the device count.
+    """
+    best = 1
+    d = 1
+    while d * d <= n:
         if n % d == 0:
-            return d
-    return 1
+            if d <= cap and d > best:
+                best = d
+            pair = n // d
+            if pair <= cap and pair > best:
+                best = pair
+        d += 1
+    return best
 
 
 def auto_mesh(n_runs=1, n_samples=None, devices=None):

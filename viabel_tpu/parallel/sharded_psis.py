@@ -170,7 +170,15 @@ def psisloo_sharded(log_lik, mesh, axis='sample', **kwargs):
     log_lik = jnp.asarray(log_lik)
     lw, ks = psislw_sharded(-log_lik, mesh, axis=axis, **kwargs)
     loos = _build_colsumlogs(mesh, axis)(lw + log_lik)
-    return float(jnp.sum(loos)), loos, ks
+    # ONE packed host transfer for the scalar total and both (m,) vectors
+    # (the unsharded `psis.psisloo` discipline; a bare float(jnp.sum())
+    # pays an extra dispatch-floor fetch), routed through `fetch_global`
+    # so a multi-controller mesh gathers instead of raising
+    from .mesh import fetch_global
+    packed = fetch_global(jnp.concatenate(
+        [jnp.sum(loos)[None], loos, ks.astype(loos.dtype)]))
+    m = loos.shape[0]
+    return float(packed[0]), packed[1:1 + m], packed[1 + m:]
 
 
 def _psis_moments_local(x_local, slw_local, axis):

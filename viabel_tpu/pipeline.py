@@ -71,13 +71,17 @@ def _closed_form_moments(var_family, opt_param, alpha):
     with df <= 4 has no finite closed-form 4th moment — the caller then
     falls back to empirical central moments of the bound samples, exactly
     as `all_bounds` does when no `moment_bound_fn` is given."""
+    from .families import NoClosedFormMomentError
     if alpha != 2:
         nan = jnp.asarray(jnp.nan, dtype=opt_param.dtype)
         return {2: nan, 4: nan}
     try:
         return {2: var_family.pth_moment(opt_param, 2),
                 4: var_family.pth_moment(opt_param, 4)}
-    except ValueError:
+    except NoClosedFormMomentError:
+        # only the dedicated no-closed-form signal maps to the empirical
+        # fallback; a plain ValueError from a custom family's pth_moment is
+        # a real defect and propagates (round-5 advisor finding)
         return None
 
 

@@ -243,5 +243,12 @@ def psisloo(log_lik, **kwargs):
     lw, ks = psislw(-log_lik, **kwargs)
     lw = lw + log_lik
     loos = sumlogs(lw, axis=0)
-    loo = float(jnp.sum(loos))
-    return loo, loos, ks
+    # ONE packed device->host transfer for the scalar total and both
+    # (m,) vectors — a separate float(jnp.sum(loos)) would pay this
+    # environment's per-fetch dispatch-latency floor on top of the
+    # fetches the caller makes anyway (CLAUDE.md device->host convention;
+    # the `bounds._fetch_stats` pattern)
+    packed = np.asarray(jnp.concatenate(
+        [jnp.sum(loos)[None], loos, ks.astype(loos.dtype)]))
+    m = loos.shape[0]
+    return float(packed[0]), packed[1:1 + m], packed[1 + m:]

@@ -17,7 +17,11 @@ explicit vector), compile the samplers once, and serve
   and returns its validated bounds + khat
 
 Built on the stdlib ``http.server`` (no extra dependencies); requests are
-served from a single compiled JAX program per endpoint.  On a multi-device
+served from a single compiled JAX program per endpoint.  Response schema
+contract: every numeric field is ``number | null`` — null exactly when the
+value is non-finite (a vacuous ``inf`` bound, an undefined NaN khat), so
+typed clients parse degenerate responses with the same schema as healthy
+ones.  On a multi-device
 host the service exploits every attached device: ``/fit`` places K starts
 on a ``(gcd(K, N), N/gcd)`` (chain, sample) mesh and ``/bounds`` shards
 its Monte Carlo pass over the sample axis (`PosteriorService._fit_mesh`;
@@ -334,18 +338,22 @@ class PosteriorService:
         return res
 
 
-def _stringify_nonfinite(obj):
-    """Replace non-finite floats with the strings ``'inf'``/``'-inf'``/
-    ``'nan'`` so the payload is valid (RFC-8259) JSON while still carrying
-    the vacuous-bound information."""
+def _null_nonfinite(obj):
+    """Replace non-finite floats with ``None`` (JSON ``null``) so the
+    payload is valid (RFC-8259) JSON with a STABLE per-field schema: every
+    numeric field is ``number | null``, where null means the value was
+    non-finite (a vacuous inf bound, or an undefined NaN khat on a
+    degenerate tail).  An earlier version emitted the strings
+    ``'inf'``/``'nan'`` instead, which changed the field's JSON type
+    exactly on the degenerate responses a typed client (Go structs, JSON
+    schema validators) most needs to read (round-5 advisor finding)."""
     import math
     if isinstance(obj, float) and not math.isfinite(obj):
-        return 'nan' if math.isnan(obj) else (
-            'inf' if obj > 0 else '-inf')
+        return None
     if isinstance(obj, dict):
-        return {k: _stringify_nonfinite(v) for k, v in obj.items()}
+        return {k: _null_nonfinite(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
-        return [_stringify_nonfinite(v) for v in obj]
+        return [_null_nonfinite(v) for v in obj]
     return obj
 
 
@@ -358,12 +366,13 @@ def _make_handler(service):
             # a strict client (JavaScript JSON.parse, Go encoding/json)
             # would fail to parse exactly the responses that report a
             # vacuous bound.  Fast path: standard dump with allow_nan
-            # off; only on failure walk the object and stringify the
-            # non-finite leaves ('inf'/'-inf'/'nan').
+            # off; only on failure walk the object and null out the
+            # non-finite leaves.  Schema contract: every numeric field is
+            # `number | null`, null = non-finite (see `_null_nonfinite`).
             try:
                 body = json.dumps(obj, allow_nan=False).encode()
             except ValueError:
-                body = json.dumps(_stringify_nonfinite(obj)).encode()
+                body = json.dumps(_null_nonfinite(obj)).encode()
             self.send_response(status)
             self.send_header('Content-Type', 'application/json')
             self.send_header('Content-Length', str(len(body)))
@@ -465,23 +474,26 @@ def start_server(service, port=8080, host='127.0.0.1'):
 def _param_from_checkpoint(path):
     """Served variational parameter from an optimizer checkpoint.
 
-    Checkpoints come in three shapes, and they must be told apart before
-    any averaging — the entries spell the kind:
+    Dispatches on the checkpoint's explicit ``format`` entry
+    (`checkpoint.checkpoint_format`; every writer stamps one — pre-round-5
+    checkpoints without it are identified by the legacy leaf-name
+    heuristics inside that one shared helper).  The three formats and
+    their serving rules:
 
-    * **adagrad resumable** (`checkpoint.adagrad_optimize_resumable`):
+    * ``adagrad-history/v1`` (`checkpoint.adagrad_optimize_resumable`):
       ``params`` is the full ``(n_iters, P)`` iterate history and ``i`` the
       completed count — serve the tail-quarter mean, the same fit
       `adagrad_optimize` reports (reference tail averaging:
       viabel/vb.py:375-376).
-    * **adagrad resumable, no-history mode** (``return_history=False``, the
-      large-P format): no iterate history exists; ``tail_sum`` is the
-      running sum of post-update parameters from the tail quarter of the
-      FULL run (``3 * n_iters // 4``, with ``n_iters = values.shape[0]``).
-      Once the run is past that point the served parameter is
+    * ``adagrad-tail/v1`` (``return_history=False``, the large-P format):
+      no iterate history exists; ``tail_sum`` is the running sum of
+      post-update parameters from the tail quarter of the FULL run
+      (``3 * n_iters // 4``, with ``n_iters = values.shape[0]``).  Once the
+      run is past that point the served parameter is
       ``tail_sum / (i - 3 * n_iters // 4)`` — the same smoothed fit the
       driver returns; before it, ``tail_sum`` is all zeros and the current
       iterate ``param`` is the best available estimate.
-    * **multichain IA** (`optimizers._chains_run_segmented`, written by the
+    * ``chains/v1`` (`optimizers._chains_run_segmented`, written by the
       CLI's ``rmsprop_ia``/``adam_ia`` with ``--checkpoint-path``): ``params``
       is the *current per-chain* ``(n_chains, P)`` parameters and ``hist``
       the per-chain ring-buffer history — tail-quarter-averaging ``params``
@@ -489,13 +501,14 @@ def _param_from_checkpoint(path):
       slice mean).  The served parameter is instead the tail-quarter mean of
       the chronologically-ordered retained history, pooled over chains.
 
-    Plain ``.npz`` files holding a single parameter vector are served as-is.
+    Plain ``.npz`` files holding a single parameter vector (format None)
+    are served as-is.
     """
-    from .checkpoint import load_checkpoint_entry
-    with np.load(path) as d:
-        names = {k.split(':', 1)[1].split('/')[-1]
-                 for k in d.files if ':' in k}
-    if 'hist' in names:  # multichain IA checkpoint
+    from .checkpoint import (FORMAT_ADAGRAD_HISTORY, FORMAT_ADAGRAD_TAIL,
+                             FORMAT_CHAINS, checkpoint_format,
+                             load_checkpoint_entry)
+    fmt = checkpoint_format(path)
+    if fmt == FORMAT_CHAINS:
         hist = load_checkpoint_entry(path, 'hist')  # (n_chains, cap, P)
         i_done = int(load_checkpoint_entry(path, 'i'))
         if i_done <= 0:
@@ -509,16 +522,15 @@ def _param_from_checkpoint(path):
         order = (i_done - kept + np.arange(kept)) % cap
         tail = hist[:, order][:, 3 * kept // 4:]
         return tail.mean(axis=(0, 1))
-    if 'params' in names and 'i' in names:  # adagrad resumable checkpoint
+    if fmt == FORMAT_ADAGRAD_HISTORY:
         params = load_checkpoint_entry(path, 'params')
         i_done = int(load_checkpoint_entry(path, 'i'))
         if 0 < i_done <= params.shape[0]:
             return params[3 * i_done // 4:i_done].mean(axis=0)
         return load_checkpoint_entry(path, 'param')
-    if 'tail_sum' in names and 'i' in names and 'values' in names:
-        # adagrad resumable, no-history mode (round-4 review: this format
-        # used to fall through to the raw last iterate even for a
-        # completed run)
+    if fmt == FORMAT_ADAGRAD_TAIL:
+        # round-4 review: this format used to fall through to the raw last
+        # iterate even for a completed run
         i_done = int(load_checkpoint_entry(path, 'i'))
         n_iters = load_checkpoint_entry(path, 'values').shape[0]
         tail_start = 3 * n_iters // 4
@@ -528,9 +540,12 @@ def _param_from_checkpoint(path):
         # tail accumulation has not started: the current iterate is the
         # best available estimate
         return load_checkpoint_entry(path, 'param')
-    if 'param' in names:
-        return load_checkpoint_entry(path, 'param')
+    # not an optimizer checkpoint: a bare parameter vector
     with np.load(path) as d:
+        names = {k.split(':', 1)[1].split('/')[-1]
+                 for k in d.files if ':' in k}
+        if 'param' in names:
+            return load_checkpoint_entry(path, 'param')
         return d[d.files[0]]
 
 
