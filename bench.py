@@ -213,22 +213,25 @@ def main():
     # it here means a caching regression in the shard_map builders (the
     # round-3 eager-re-lowering defect: 121 s/call through the tunnel,
     # benchmarks/SCALING.md) shows up as a driver-witnessed number, not a
-    # CPU-test-invisible stall
-    from viabel_tpu.parallel import (make_mesh, psislw_sharded,
-                                     sharded_all_bounds)
+    # CPU-test-invisible stall.  The pass is the FUSED single-program
+    # `sharded_bound_psis` (the program serve /bounds runs); round-4's
+    # 3x overhead over the unsharded pass was attributed to a full-array
+    # searchsorted in the sharded PSIS (238 ms device at n=2.5e6) plus a
+    # second dispatch — both fixed in round 5 (benchmarks/
+    # sharded_overhead.py, SCALING.md tier 4)
+    from viabel_tpu.parallel import make_mesh, sharded_bound_psis
     mesh1 = make_mesh(axis_names=('sample',), shape=(1,),
                       devices=[jax.devices()[0]])
 
     def sharded_pass(r):
-        res, lw_s = sharded_all_bounds(
+        res, slw, _khat = sharded_bound_psis(
             model.log_prob, fam, opt_param, N_BOUND,
             jax.random.PRNGKey(500 + r), mesh1,
-            moment_bound_fn=moment_bound_fn, return_log_weights=True)
-        slw, _ = psislw_sharded(lw_s, mesh1)
+            moment_bound_fn=moment_bound_fn, q_var=q_var)
         return slw
     dt_sharded = steady_state(sharded_pass)
-    log('sharded bound+PSIS pass (1-device mesh): {:.3f}s'.format(
-        dt_sharded))
+    log('sharded bound+PSIS pass (1-device mesh, one fused program): '
+        '{:.3f}s'.format(dt_sharded))
 
     # -- PSIS over the 2.5e6 log-weights --
     # a distinct input per rep defeats the execution service's result

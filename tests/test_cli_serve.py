@@ -685,13 +685,14 @@ def test_posterior_service_bounds_uses_mesh(monkeypatch):
     import viabel_tpu.parallel as par
     service = _make_service()
     called = {}
-    real = par.sharded_all_bounds
+    real = par.sharded_bound_psis
 
     def spy(*args, **kwargs):
         called['mesh'] = args[5] if len(args) > 5 else kwargs.get('mesh')
         return real(*args, **kwargs)
 
-    monkeypatch.setattr(par, 'sharded_all_bounds', spy)
+    # round 5: /bounds runs the FUSED single-program pass
+    monkeypatch.setattr(par, 'sharded_bound_psis', spy)
     out = service.bounds(65536)  # power-of-two bucket divides 8 devices
     assert called['mesh'] is not None
     assert np.isfinite(out['d2']) and np.isfinite(out['khat'])

@@ -423,3 +423,65 @@ def test_auto_mesh_invariants_property():
                 assert k % sizes['chain'] == 0, (k, n)
                 if sizes['sample'] > 1:
                     assert n % sizes['sample'] == 0, (k, n)
+
+
+def test_sharded_bound_psis_fused_matches_two_program(mesh):
+    """The fused single-dispatch bound+PSIS program (`sharded_bound_psis`,
+    the pass serve /bounds and the bench sentinel run) must reproduce the
+    composed `sharded_all_bounds` + `psislw_sharded` path exactly — same
+    per-device keys, same statistics, same smoothed weights and khat —
+    both with closed-form family moments and through the empirical
+    fallback."""
+    from viabel_tpu.bounds import family_moment_bounds
+    from viabel_tpu.parallel import sharded_bound_psis
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    vp = jnp.asarray([0.0, 0.0, 0.3, 0.6], dtype=jnp.float64)
+    mb = family_moment_bounds(fam, vp)
+    qv = np.asarray(fam.mean_and_cov(vp)[1])
+    key = jax.random.PRNGKey(3)
+
+    res2, lw = sharded_all_bounds(model.log_prob, fam, vp, 16000, key, mesh,
+                                  moment_bound_fn=mb, q_var=qv,
+                                  return_log_weights=True)
+    slw2, kh2 = psislw_sharded(lw, mesh)
+    res1, slw1, kh1 = sharded_bound_psis(model.log_prob, fam, vp, 16000,
+                                         key, mesh, moment_bound_fn=mb,
+                                         q_var=qv)
+    for k in res2:
+        np.testing.assert_allclose(res1[k], res2[k], rtol=1e-9, err_msg=k)
+    np.testing.assert_allclose(np.asarray(slw1), np.asarray(slw2),
+                               rtol=1e-12)
+    np.testing.assert_allclose(kh1, float(kh2), rtol=1e-9)
+    # the smoothed weights keep the sample-axis sharding
+    assert len(slw1.sharding.device_set) == 8
+    # empirical-moment fallback (no moment_bound_fn, no q_var)
+    r1, s1, k1 = sharded_bound_psis(model.log_prob, fam, vp, 16000, key,
+                                    mesh)
+    r2 = sharded_all_bounds(model.log_prob, fam, vp, 16000, key, mesh)
+    for k in r2:
+        np.testing.assert_allclose(r1[k], r2[k], rtol=1e-9, err_msg=k)
+
+
+def test_sharded_psis_ties_in_tail(mesh):
+    """Tied weight values inside the tail: the tail-only scatter rewrite
+    (round-5) must keep the module's documented tie semantics — exactly
+    equal tail values receive the SAME smoothed quantile (value-order
+    ranks; the unsharded argsort instead breaks such ties by index, a
+    measure-zero divergence for continuous weights) — and the result must
+    stay correctly renormalized and close to the unsharded smoothing."""
+    from jax.scipy.special import logsumexp
+    key = jax.random.PRNGKey(11)
+    lw = jax.random.normal(key, (8000,), dtype=jnp.float64)
+    tied_val = float(jnp.sort(lw)[-200])
+    lw = lw.at[:64].set(tied_val)  # plant exact ties inside the tail
+    slw_sh, kh_sh = psislw_sharded(shard_over(lw, mesh, 'sample'), mesh)
+    slw, kh = psislw(lw)
+    np.testing.assert_allclose(float(kh_sh), float(kh), rtol=1e-9)
+    out = np.asarray(slw_sh)
+    # all ties share one smoothed value; self-normalization holds
+    assert np.unique(out[:64]).size == 1
+    np.testing.assert_allclose(float(logsumexp(slw_sh)), 0.0, atol=1e-9)
+    # away from the ties the two smoothings agree up to the (tiny)
+    # renormalization shift the tie convention induces
+    np.testing.assert_allclose(out[64:], np.asarray(slw)[64:], atol=5e-3)

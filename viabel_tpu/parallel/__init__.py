@@ -21,7 +21,8 @@ scaling story:
 from .distributed import (initialize_distributed, local_device_count,
                           process_info)
 from .mesh import auto_mesh, fetch_global, make_mesh, shard_over
-from .sharded_bounds import (sharded_all_bounds, sharded_log_weight_stats,
+from .sharded_bounds import (sharded_all_bounds, sharded_bound_psis,
+                             sharded_log_weight_stats,
                              sharded_sample_stats)
 from .sharded_chains import shard_chain_inputs
 from .sharded_psis import (psislw_sharded, psisloo_sharded,
@@ -30,6 +31,7 @@ from .sharded_psis import (psislw_sharded, psisloo_sharded,
 __all__ = [
     'make_mesh', 'shard_over', 'fetch_global', 'auto_mesh',
     'sharded_log_weight_stats', 'sharded_sample_stats', 'sharded_all_bounds',
+    'sharded_bound_psis',
     'shard_chain_inputs',
     'psislw_sharded', 'psisloo_sharded', 'sharded_psis_moments',
     'initialize_distributed', 'local_device_count', 'process_info',

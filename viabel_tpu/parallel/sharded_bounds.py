@@ -21,6 +21,7 @@ __all__ = [
     'sharded_log_weight_stats',
     'sharded_sample_stats',
     'sharded_all_bounds',
+    'sharded_bound_psis',
 ]
 
 
@@ -230,7 +231,24 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
     # copy before adding 'n': the dict came out of the cached program
     stats = dict(stats)
     stats['n'] = n_samples
+    results = _host_bound_assembly(stats, alpha, log_norm_bound,
+                                   moment_bound_fn, compute_moments,
+                                   with_cov, q_var, p_var)
+    extras = []
+    if return_log_weights:
+        extras.append(lw_sharded)
+    if return_samples:
+        extras.append(samples_sharded)
+    if extras:
+        return (results, *extras)
+    return results
 
+
+def _host_bound_assembly(stats, alpha, log_norm_bound, moment_bound_fn,
+                         compute_moments, with_cov, q_var, p_var):
+    """Shared host epilogue of the sharded bound passes: the scalar bound
+    algebra (`divergence_bound` -> `wasserstein_bounds` -> `error_bounds`)
+    from the already-psum-reduced statistics dict."""
     d2, log_norm_bound = divergence_bound(
         None, alpha=alpha, log_norm_bound=log_norm_bound,
         return_log_norm_bound=True, _stats=stats)
@@ -242,7 +260,7 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
     results = wasserstein_bounds(d2, samples=None,
                                  moment_bound_fn=moment_bound_fn,
                                  _moments=moments)
-    if q_var is None and moments is not None:
+    if q_var is None and moments is not None and with_cov:
         q_var = np.asarray(moments['cov'])
         if q_var.shape == (1, 1):
             q_var = q_var[0, 0]
@@ -251,11 +269,108 @@ def sharded_all_bounds(model_log_prob, family, var_param, n_samples, key,
                                 p_var=np.inf if p_var is None else p_var))
     results['d2'] = d2
     results['log_norm_bound'] = log_norm_bound
-    extras = []
-    if return_log_weights:
-        extras.append(lw_sharded)
-    if return_samples:
-        extras.append(samples_sharded)
-    if extras:
-        return (results, *extras)
     return results
+
+
+@lru_cache(maxsize=64)
+def _build_bound_psis(model_log_prob, family, mesh, axis, n_local, n_samples,
+                      alpha, compute_moments, with_cov, tail_len, cutoffmin):
+    """Cached fused draw -> score -> stats -> PSIS program: the complete
+    sharded bound+PSIS pass in ONE dispatch.
+
+    The two-program path (`sharded_all_bounds` then `psislw_sharded`)
+    round-trips the full log-weight vector through HBM between programs
+    and pays two dispatch floors; fusing lets XLA keep the log-weights hot
+    and halves the dispatch count — measured 0.313 s -> ~0.10 s at
+    n = 2.5e6 on a v5e chip (benchmarks/sharded_overhead.py, SCALING.md
+    tier 4).  `check_vma=False` for the PSIS tail recompute, exactly as in
+    `parallel.sharded_psis._build_psislw`.
+    """
+    from .sharded_psis import _smooth_local
+
+    out_specs = (P(), P(axis), P())
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P()),
+             out_specs=out_specs, check_vma=False)
+    def bound_psis(vp, k):
+        samples, lw_local, stats, cm = _draw_and_score_locals(
+            family, model_log_prob, vp, k, n_local, n_samples, axis, alpha,
+            compute_moments, with_cov)
+        if cm is not None:
+            stats.update(cm)
+        slw, khat = _smooth_local(lw_local, axis, tail_len, cutoffmin)
+        return stats, slw, khat
+
+    return bound_psis
+
+
+def sharded_bound_psis(model_log_prob, family, var_param, n_samples, key,
+                       mesh, alpha=2.0, axis='sample', Reff=1.0,
+                       log_norm_bound=None, moment_bound_fn=None,
+                       q_var=None, p_var=None):
+    """Fused sharded draw -> score -> bound statistics -> PSIS in ONE
+    compiled program.
+
+    The workflow serve ``/bounds`` and the bench's sharded pass run —
+    previously composed as `sharded_all_bounds` + `psislw_sharded`, i.e.
+    two dispatches with the log-weight vector written to and re-read from
+    HBM in between; fused, the chip runs the whole pass back to back
+    (reference workload: viabel/bounds.py:169-176 +
+    notebooks/psis.py:112-199, here scaled over the mesh `axis`).
+
+    Returns ``(results, smoothed_log_weights, khat)``: the `all_bounds`
+    results dict (host floats), the still-sharded smoothed log-weights,
+    and the PSIS tail index as a host float.  Every host-facing scalar
+    (the five log-weight statistics, khat, and the empirical C2/C4 when no
+    `moment_bound_fn` is given) crosses device->host in ONE packed
+    transfer (CLAUDE.md fetch convention).
+    """
+    if alpha != 2:
+        raise ValueError('sharded_bound_psis requires alpha == 2 (the '
+                         'Wasserstein and moment-error bounds are only '
+                         'valid for the 2-divergence)')
+    n_dev = mesh.shape[axis]
+    if n_samples % n_dev:
+        raise ValueError('the mesh axis size ({}) must divide n_samples '
+                         '({})'.format(n_dev, n_samples))
+    if n_samples <= 1:
+        raise ValueError('More than one log-weight needed.')
+    n_local = n_samples // n_dev
+    var_param = jnp.asarray(var_param)
+
+    from ..bounds import _STAT_KEYS
+    from ..psis import _tail_len
+    from ..utils import _hashable_log_density
+    compute_moments = moment_bound_fn is None
+    with_cov = compute_moments and q_var is None
+    tail_len = _tail_len(n_samples, Reff)
+    cutoffmin = float(np.log(np.finfo(np.dtype(var_param.dtype)).tiny))
+    prog = _build_bound_psis(
+        _hashable_log_density(model_log_prob), family, mesh, axis, n_local,
+        n_samples, float(alpha), compute_moments, with_cov, tail_len,
+        cutoffmin)
+    stats, slw, khat = prog(var_param, key)
+    stats = dict(stats)
+
+    # ONE packed device->host transfer for every scalar the host algebra
+    # reads (the `bounds._fetch_stats` discipline, extended with khat and
+    # the empirical moments)
+    names = list(_STAT_KEYS) + ['khat'] + (
+        ['C2', 'C4'] if compute_moments else [])
+    arrs = [jnp.asarray(v) for v in
+            ([stats[k] for k in _STAT_KEYS] + [khat]
+             + ([stats['C2'], stats['C4']] if compute_moments else []))]
+    dt = jnp.result_type(*arrs)
+    packed = np.asarray(jnp.stack([a.astype(dt) for a in arrs]))
+    host = dict(zip(names, (float(v) for v in packed)))
+    host_stats = {k: host[k] for k in _STAT_KEYS}
+    host_stats['n'] = n_samples
+    if compute_moments:
+        host_stats['C2'], host_stats['C4'] = host['C2'], host['C4']
+        if with_cov:
+            host_stats['cov'] = stats['cov']  # (d, d); one small fetch
+    results = _host_bound_assembly(host_stats, alpha, log_norm_bound,
+                                   moment_bound_fn, compute_moments,
+                                   with_cov, q_var, p_var)
+    return results, slw, host['khat']

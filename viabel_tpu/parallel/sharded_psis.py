@@ -48,7 +48,7 @@ def _smooth_local(lw_local, axis, tail_len, cutoffmin):
     # contributes its top tail_len+1 so the gathered pool provably
     # contains the global top tail_len+1 (tail plus cutoff element),
     # including on a single-device mesh.
-    local_top, _ = jax.lax.top_k(x, min(tail_len + 1, x.shape[0]))
+    local_top, local_idx = jax.lax.top_k(x, min(tail_len + 1, x.shape[0]))
     cands = jax.lax.all_gather(local_top, axis).reshape(-1)
     # (3): replicated global tail (descending) and cutoff
     g_top, _ = jax.lax.top_k(cands, tail_len + 1)
@@ -70,16 +70,25 @@ def _smooth_local(lw_local, axis, tail_len, cutoffmin):
                    1e-12, 1 - 1e-12)
     qq = jnp.log(gpinv(sti, k, sigma) + expxcutoff)     # ascending
 
-    # (4): rank of each local above-cutoff weight among the ascending
-    # valid tail = (tail_len - n2) + #{valid tail values < v}.  For
-    # v > xcutoff every invalid (<= cutoff) tail entry is strictly
-    # below v, so that sum is exactly #{tail values < v} — a
-    # searchsorted on the sorted tail, O(n_local log tail_len) instead
-    # of the O(n_local * tail_len) mask-and-count
-    in_tail = x > xcutoff
-    rank = jnp.clip(jnp.searchsorted(tail_asc, x), 0, tail_len - 1)
-    smoothed_vals = qq[rank]
-    x_new = jnp.where(in_tail & do_smooth, smoothed_vals, x)
+    # (4): rewrite ONLY the local top-k candidates, then scatter them back
+    # by their saved indices — the unsharded `_psislw_1d` discipline.
+    # Every local above-cutoff weight is provably among the local top
+    # tail_len+1 (at most tail_len weights exceed the global cutoff in
+    # TOTAL, and locally they are by definition the largest), so the
+    # ranks only ever matter for those candidates.  An earlier version
+    # ranked ALL n_local elements with a full-array searchsorted; on TPU
+    # that lowers to a serialized gather loop over the whole shard and
+    # cost 238 ms device time at n = 2.5e6 on a v5e — 50x the unsharded
+    # PSIS program — vs ~5 ms for this tail-only form
+    # (benchmarks/sharded_overhead.py, SCALING.md tier 4).  Rank of a
+    # candidate among the ascending valid tail = searchsorted position:
+    # for v > xcutoff every invalid (<= cutoff) tail entry is strictly
+    # below v, so the position counts exactly #{tail values < v}.
+    cand_in_tail = local_top > xcutoff
+    rank = jnp.clip(jnp.searchsorted(tail_asc, local_top), 0, tail_len - 1)
+    cand_new = jnp.where(cand_in_tail & do_smooth, qq[rank], local_top)
+    # candidates not rewritten scatter their original value back (no-op)
+    x_new = x.at[local_idx].set(cand_new)
     x_new = jnp.where(do_smooth, jnp.minimum(x_new, 0.0), x_new)
 
     # (5): distributed logsumexp renormalization

@@ -170,16 +170,18 @@ class PosteriorService:
         if mesh is not None:
             # multi-device host: the MC pass shards over the sample axis
             # (each device draws/scores its own shard; psum'd statistics,
-            # tail-only PSIS gather) — the same program `validated_vi`'s
-            # sharded bound stage runs; builders are cached per
+            # tail-only PSIS gather) — draw, score, stats, AND the PSIS
+            # smooth run as ONE fused program (`sharded_bound_psis`: the
+            # two-program compose paid an extra dispatch and an HBM
+            # round-trip of the log-weights; benchmarks/
+            # sharded_overhead.py); builders are cached per
             # (model, family, mesh, n), so repeated /bounds hit the
             # executable cache
-            from .parallel import psislw_sharded, sharded_all_bounds
-            res, lw_dev = sharded_all_bounds(
+            from .parallel import sharded_bound_psis
+            res, _slw, khat = sharded_bound_psis(
                 self.model.log_prob, self.family, var_param, n,
-                self._next_key(), mesh, q_var=cov, moment_bound_fn=mb,
-                return_log_weights=True)
-            res['khat'] = psislw_sharded(lw_dev, mesh)[1]
+                self._next_key(), mesh, q_var=cov, moment_bound_fn=mb)
+            res['khat'] = khat
             return {k: float(v) for k, v in res.items()}
         samples_dev, lw_dev = self._lw(var_param, self._next_key(), n)
         res = all_bounds(lw_dev,
