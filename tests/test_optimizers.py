@@ -430,3 +430,37 @@ def test_adagrad_no_history_mode():
     # so they agree bit-for-bit (the history MEAN may differ from it in
     # summation order; the cross-mode contract is the bitwise one)
     np.testing.assert_array_equal(np.asarray(lean[0]), np.asarray(full[0]))
+
+
+def test_resolve_unroll():
+    """unroll='auto' resolves by parameter size (DIM_SCALING.md: unroll=8
+    is the measured-best at occupancy-bound large P, 4 at small P);
+    explicit ints pass through so bit-identity callers (unroll=1) are
+    never silently changed."""
+    from viabel_tpu.optimizers import _AUTO_UNROLL_LARGE_P, resolve_unroll
+    assert resolve_unroll('auto', 4) == 4
+    assert resolve_unroll('auto', _AUTO_UNROLL_LARGE_P - 1) == 4
+    assert resolve_unroll('auto', _AUTO_UNROLL_LARGE_P) == 8
+    assert resolve_unroll('auto', 45450) == 8  # full-rank d=300
+    assert resolve_unroll(1, 45450) == 1
+    assert resolve_unroll(16, 4) == 16
+    with pytest.raises(ValueError, match="positive int or 'auto'"):
+        resolve_unroll('fast', 4)
+    with pytest.raises(ValueError, match='>= 1'):
+        resolve_unroll(0, 4)
+
+
+def test_adagrad_auto_unroll_matches_explicit_small_p():
+    """At small P the default unroll='auto' is exactly unroll=4 — same
+    resolved static argument, so it hits the SAME compiled program and
+    the trajectories are bitwise identical."""
+    from viabel_tpu.models import funnel_model
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    obj = black_box_klvi(fam, model.log_prob, 20, presampled=True)
+    init = jnp.zeros(4, dtype=jnp.float64)
+    kw = dict(key=jax.random.PRNGKey(5), learning_rate=.05)
+    auto = adagrad_optimize(200, obj, init, **kw)
+    four = adagrad_optimize(200, obj, init, unroll=4, **kw)
+    np.testing.assert_array_equal(np.asarray(auto[0]), np.asarray(four[0]))
+    np.testing.assert_array_equal(np.asarray(auto[2]), np.asarray(four[2]))

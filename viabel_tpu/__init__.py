@@ -29,7 +29,8 @@ from .objectives import (black_box_chivi, black_box_chivi_neff,
                          vectorize_log_density)
 from .optimizers import (adagrad_optimize, adam_IA_optimize,
                          adam_IA_optimize_with_rhat, learning_rate_schedule,
-                         rmsprop_IA_optimize, rmsprop_IA_optimize_with_rhat)
+                         resolve_unroll, rmsprop_IA_optimize,
+                         rmsprop_IA_optimize_with_rhat)
 from .diagnostics import (compute_posterior_moments, compute_R_hat,
                           compute_R_hat_adaptive, compute_R_hat_halfway,
                           effective_sample_size,
@@ -58,7 +59,7 @@ __all__ = [
     'black_box_chivi', 'black_box_chivi_neff', 'perturbed_black_box_vi',
     'vectorize_log_density',
     # optimizers (viabel/vb.py:324-712)
-    'learning_rate_schedule', 'adagrad_optimize',
+    'learning_rate_schedule', 'adagrad_optimize', 'resolve_unroll',
     'rmsprop_IA_optimize_with_rhat', 'adam_IA_optimize_with_rhat',
     'rmsprop_IA_optimize', 'adam_IA_optimize',
     # diagnostics (viabel/functions.py)

@@ -304,7 +304,12 @@ def main(argv=None):
     pr.add_argument('--optimizer', choices=OPTIMIZERS)
     pr.add_argument('--df', type=float)
     pr.add_argument('--alpha', type=float)
-    pr.add_argument('--n-mc', dest='n_mc', type=int)
+    pr.add_argument('--n-mc', dest='n_mc', type=int,
+                    help='Monte Carlo samples per gradient (default 100, '
+                         'the reference protocol). At d >= 100 the step is '
+                         'occupancy-bound, so 800-1600 costs only ~10-14%% '
+                         'step time for ~8-16x lower gradient variance '
+                         '(benchmarks/DIM_SCALING.md)')
     pr.add_argument('--n-iters', dest='n_iters', type=int)
     pr.add_argument('--n-chains', dest='n_chains', type=int)
     pr.add_argument('--learning-rate', dest='learning_rate', type=float)

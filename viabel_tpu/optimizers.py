@@ -30,6 +30,7 @@ from .diagnostics import (compute_R_hat_adaptive, compute_R_hat_halfway,
 
 __all__ = [
     'learning_rate_schedule',
+    'resolve_unroll',
     'adagrad_optimize',
     'rmsprop_IA_optimize_with_rhat',
     'adam_IA_optimize_with_rhat',
@@ -164,6 +165,39 @@ def _window_accum(state, i, grad, log_norm, window):
     return _WindowState(grads, log_norms), accum_sum
 
 
+# P above which unroll=8 is the measured-best scan unroll for the windowed
+# adagrad body (benchmarks/nmc_sweep.json, benchmarks/DIM_SCALING.md):
+# large-P steps are MXU-occupancy/HBM-latency bound and unrolling the scan
+# body lets XLA overlap more of the tiny per-step tensor work, while at
+# small P the body is already dispatch-bound and 4 was best in the
+# unroll-in-2..16 sweep (bench.py comment, v5e).
+_AUTO_UNROLL_LARGE_P = 2048
+
+
+def resolve_unroll(unroll, var_param_dim):
+    """Resolve ``unroll='auto'`` to the measured-best `lax.scan` unroll
+    for a parameter vector of size `var_param_dim`.
+
+    The reference has no analogous knob (its loop is a Python `for`;
+    reference: viabel/vb.py:357-380); on TPU the unroll factor trades
+    scan-body dispatch overhead against compile time, and the best value
+    depends on the parameter size P (benchmarks/DIM_SCALING.md: unroll=8
+    is +2.2x at d = 300 full-rank, P = 45450, while 4 wins at small P).
+    Integers pass through unchanged, so explicit values (including the
+    bit-identity-sensitive ``unroll=1``) are always honored.
+    """
+    if isinstance(unroll, str):
+        if unroll != 'auto':
+            raise ValueError(
+                "unroll must be a positive int or 'auto', got {!r}"
+                .format(unroll))
+        return 8 if var_param_dim >= _AUTO_UNROLL_LARGE_P else 4
+    unroll = int(unroll)
+    if unroll < 1:
+        raise ValueError('unroll must be >= 1, got {}'.format(unroll))
+    return unroll
+
+
 def _make_adagrad_step(obj, n_iters, window, learning_rate, epsilon,
                        learning_rate_end, dtype):
     """Single windowed-adagrad iteration (reference: viabel/vb.py:357-376),
@@ -181,9 +215,9 @@ def _make_adagrad_step(obj, n_iters, window, learning_rate, epsilon,
         # checkpoint driver allocates its history templates in the param
         # dtype, so both drivers record the same dtypes; for exact
         # whole-run/resumable trajectory correspondence also pass
-        # ``unroll=1`` to `adagrad_optimize` — its default unroll=4 lets
-        # XLA fuse across iterations differently than the resumable
-        # driver's plain scan, which can differ in the low bits)
+        # ``unroll=1`` to `adagrad_optimize` — its default ('auto' -> 4
+        # or 8 by P) lets XLA fuse across iterations differently than the
+        # resumable driver's plain scan, which can differ in the low bits)
         value = value.astype(dtype)
         grad = grad.astype(dtype)
         log_norm = log_norm.astype(dtype)
@@ -272,7 +306,7 @@ def _adagrad_run(obj, n_iters, window, learning_rate, epsilon,
 def adagrad_optimize(n_iters, objective_and_grad, init_param, *, key=None,
                      has_log_norm=None, window=10, learning_rate=.01,
                      epsilon=.1, learning_rate_end=None, progress=False,
-                     unroll=4, return_history=True):
+                     unroll='auto', return_history=True):
     """Windowed adagrad with min-log-norm gradient rescaling and
     tail-quarter iterate averaging (reference: viabel/vb.py:345-389).
 
@@ -290,11 +324,18 @@ def adagrad_optimize(n_iters, objective_and_grad, init_param, *, key=None,
     running sum, so the two modes agree bit-for-bit
     (`tests/test_optimizers.py::test_adagrad_no_history_mode`); the
     in-scan sum equals the history mean up to summation order.
+
+    ``unroll='auto'`` (the default) resolves to the measured-best scan
+    unroll for the parameter size via `resolve_unroll` — 8 at large P
+    (occupancy-bound steps, +2.2x at d = 300 full-rank), 4 otherwise.
+    Pass an explicit int to pin it (``unroll=1`` for bit-exact
+    correspondence with the resumable driver).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
+    unroll = resolve_unroll(unroll, init_param.shape[0])
     if not return_history:
         values, log_norms, tail_mean = _adagrad_run(
             obj, n_iters, window, learning_rate, epsilon,

@@ -23,7 +23,7 @@ import numpy as np
 from .bounds import (divergence_bound, error_bounds, log_weight_stats,
                      wasserstein_bounds)
 from .objectives import black_box_klvi
-from .optimizers import _adagrad_run, _wrap_objective
+from .optimizers import _adagrad_run, _wrap_objective, resolve_unroll
 from .psis import _psislw_1d, _tail_len, weighted_moments
 
 __all__ = ['validated_vi', 'validated_vi_multistart',
@@ -234,7 +234,7 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
                  objective_and_grad=None, n_mc_samples=100,
                  n_bound_samples=1000000, alpha=2.0, key=None,
                  has_log_norm=None, window=10, learning_rate=0.01,
-                 epsilon=0.1, learning_rate_end=None, unroll=4,
+                 epsilon=0.1, learning_rate_end=None, unroll='auto',
                  log_norm_bound=None, mesh=None, axis='sample'):
     """Run the full validated-VI pipeline as one compiled device program.
 
@@ -251,6 +251,17 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
         supports it.  Pass `black_box_chivi(...)` (with `log_norm_bound`
         from a KLVI run) for the reference's CHIVI stage
         (reference: notebooks/experiments.py:205-208).
+    n_mc_samples : int
+        Monte Carlo samples per gradient (the reference's protocol
+        default of 100; reference: viabel/vb.py:345-347).  At d >= 100
+        the optimizer step is MXU-occupancy-bound, so raising this to
+        800-1600 costs only ~10-14 % step time while cutting gradient
+        variance ~1/n_mc — nearly free statistical efficiency
+        (benchmarks/DIM_SCALING.md n_mc sweep).
+    unroll : int or 'auto'
+        `lax.scan` unroll for the optimizer stage; 'auto' (default)
+        resolves to the measured best for the parameter size
+        (`optimizers.resolve_unroll`).
     log_norm_bound : optional float
         Log-normalizer lower bound for the divergence bound; defaults to
         the run's own ELBO estimate (reference: viabel/bounds.py:174-176).
@@ -276,6 +287,7 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
                                                 n_mc_samples)
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
+    unroll = resolve_unroll(unroll, init_param.shape[0])
     if mesh is not None:
         if axis not in mesh.axis_names:
             raise ValueError(
@@ -523,8 +535,9 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
                             objective_and_grad=None, n_mc_samples=100,
                             n_bound_samples=1000000, alpha=2.0, key=None,
                             has_log_norm=None, window=10, learning_rate=0.01,
-                            epsilon=0.1, learning_rate_end=None, unroll=4,
-                            log_norm_bound=None, mesh=None, axis='chain',
+                            epsilon=0.1, learning_rate_end=None,
+                            unroll='auto', log_norm_bound=None, mesh=None,
+                            axis='chain',
                             sample_axis='sample'):
     """K independent validated-VI runs batched into ONE compiled program.
 
@@ -569,6 +582,7 @@ def validated_vi_multistart(log_density, var_family, init_param, n_iters, *,
                                                 n_mc_samples)
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
+    unroll = resolve_unroll(unroll, init_param.shape[0])
     perturb_key, run_key = jax.random.split(key)
     if init_params is None:
         from .optimizers import _perturbed_inits
@@ -672,7 +686,7 @@ def validated_vi_sweep(log_density, var_family, init_param, n_iters, *,
                        objective_and_grad=None, n_mc_samples=100,
                        n_bound_samples=100000, alpha=2.0, key=None,
                        has_log_norm=None, window=10, epsilon=0.1,
-                       unroll=4, log_norm_bound=None, mesh=None,
+                       unroll='auto', log_norm_bound=None, mesh=None,
                        axis='chain', sample_axis='sample'):
     """Learning-rate sweep: one compiled program runs the complete
     validated pipeline once per rate and reports which rate's fit carries
@@ -714,6 +728,7 @@ def validated_vi_sweep(log_density, var_family, init_param, n_iters, *,
                                                 n_mc_samples)
     obj = _wrap_objective(objective_and_grad, has_log_norm)
     init_param = jnp.asarray(init_param)
+    unroll = resolve_unroll(unroll, init_param.shape[0])
     lrs = np.asarray(learning_rates, dtype=np.float64)
     if lrs.ndim != 1 or lrs.size == 0:
         raise ValueError('learning_rates must be a non-empty 1-D array')
