@@ -633,3 +633,48 @@ def test_multistart_2d_mesh_accepts_typed_keys():
     np.testing.assert_allclose(np.asarray(typed['opt_param']),
                                np.asarray(raw['opt_param']), rtol=1e-12)
     assert np.isfinite(typed['khat']).all()
+
+
+def test_diverged_run_warns():
+    """A run whose fit goes non-finite must announce itself loudly
+    (DivergedRunWarning) while still returning vacuous (inf/nan) results
+    instead of raising — the failure-detection contract for the
+    single-run path (the CHIVI-at-large-d mode measured in
+    benchmarks/DIM_SCALING.md)."""
+    import warnings
+
+    from viabel_tpu.pipeline import DivergedRunWarning
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    init = jnp.zeros(4, dtype=jnp.float64)
+    with pytest.warns(DivergedRunWarning, match='diverged'):
+        out = validated_vi(model.log_prob, fam, init, 200,
+                           key=jax.random.PRNGKey(0), n_bound_samples=4000,
+                           learning_rate=1e18)  # guaranteed blow-up
+    assert not np.isfinite(out['khat'])
+    assert not np.isfinite(out['bounds']['d2'])
+
+
+def test_multistart_all_diverged_warns_once():
+    """Individual perturbed starts may diverge silently (that is what the
+    perturbation probes); the batch warns only when EVERY start diverged
+    — then `best` is arbitrary and the configuration is broken."""
+    import warnings
+
+    from viabel_tpu import validated_vi_multistart
+    from viabel_tpu.pipeline import DivergedRunWarning
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    init = jnp.zeros(4, dtype=jnp.float64)
+    with pytest.warns(DivergedRunWarning, match='every run'):
+        out = validated_vi_multistart(
+            model.log_prob, fam, init, 200, n_starts=2,
+            key=jax.random.PRNGKey(0), n_bound_samples=4000,
+            learning_rate=1e18)
+    assert all(not np.isfinite(k) for k in out['khat'])
+    # a healthy batch must NOT warn
+    with warnings.catch_warnings():
+        warnings.simplefilter('error', DivergedRunWarning)
+        validated_vi_multistart(model.log_prob, fam, init, 200, n_starts=2,
+                                key=jax.random.PRNGKey(0),
+                                n_bound_samples=4000, learning_rate=.05)

@@ -185,6 +185,18 @@ def black_box_chivi(alpha, var_family, log_density, n_samples,
     held constant, exactly the reference's `vector_jacobian_product`
     construction (reference: viabel/vb.py:255, 263).  ``presampled=True``
     as in `black_box_klvi`.
+
+    **Dimension limit.**  The naive-MC CUBO estimator degenerates once the
+    per-batch log-weight spread exceeds a few nats: ``w_alpha`` collapses
+    onto the argmax sample, the estimate reduces to ~``max lw``, and
+    descent walks q away from p without bound at ANY learning rate.
+    Measured onset (full-rank Gaussian, conjugate regression): divergence
+    from d = 30 up, at every lr in {5e-3 .. 5e-4}; the alpha-weight ESS at
+    the optimum is 58/1e5 by d = 300 (benchmarks/DIM_SCALING.md,
+    dim_objectives.json).  This is a property of the objective — the
+    reference's workloads (d <= 10, where CHIVI certifies) never reach it.
+    At large d use KLVI + PSIS correction; a diverged pipeline run is
+    reported via `pipeline.DivergedRunWarning` and vacuous (inf) bounds.
     """
 
     def compute_log_weights(var_param, rng_or_draws):

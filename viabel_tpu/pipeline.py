@@ -27,7 +27,21 @@ from .optimizers import _adagrad_run, _wrap_objective, resolve_unroll
 from .psis import _psislw_1d, _tail_len, weighted_moments
 
 __all__ = ['validated_vi', 'validated_vi_multistart',
-           'validated_vi_sweep']
+           'validated_vi_sweep', 'DivergedRunWarning']
+
+
+class DivergedRunWarning(UserWarning):
+    """An optimizer run produced a non-finite fit.
+
+    The validated pipeline degrades a diverged run to infinite bounds and
+    a NaN khat instead of raising (`_assemble_bounds`); this category
+    makes the event loud on the single-run path so a user is told the fit
+    — not the Monte Carlo noise — is the problem.  Typical cause at large
+    d: the CHIVI objective, whose naive-MC CUBO estimator degenerates
+    once the per-batch log-weight spread exceeds a few nats (measured
+    onset d >= 30 full-rank; benchmarks/DIM_SCALING.md) — use KLVI (+
+    PSIS correction) there instead.
+    """
 
 
 @lru_cache(maxsize=256)
@@ -314,6 +328,15 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
     # fetched in a single device->host transfer
     bounds, khat = _assemble_bounds(out.pop('host_pack'), n_bound_samples,
                                     var_family.dim, alpha, log_norm_bound)
+    if not np.isfinite(khat):
+        import warnings
+        warnings.warn(
+            'the optimizer run diverged (non-finite log-weights at the '
+            'fitted parameter): bounds are vacuous. Reduce the learning '
+            'rate — or, if the objective is CHIVI at large d, switch to '
+            'KLVI: the exponentiated CUBO estimator cannot be Monte-Carlo '
+            'estimated once the batch log-weight spread exceeds a few '
+            'nats (benchmarks/DIM_SCALING.md)', DivergedRunWarning)
     out['bounds'] = bounds
     out['khat'] = khat
     return out
@@ -661,6 +684,16 @@ def _finalize_batch(out, n_runs, n_bound_samples, dim, alpha,
     d_vals = np.asarray([b[d_key] for b in bounds])
     d_vals = np.where(np.isfinite(d_vals), d_vals, np.inf)
     out['best'] = int(np.argmin(d_vals))
+    if not np.any(np.isfinite(np.asarray(khats))):
+        # individual perturbed starts may legitimately diverge (that is
+        # what the perturbation probes); ALL of them diverging means the
+        # configuration, not the init, is broken — say so once
+        import warnings
+        warnings.warn(
+            'every run in this batch diverged (non-finite log-weights): '
+            'bounds are vacuous and `best` is arbitrary. Reduce the '
+            'learning rate or switch objective (CHIVI at large d: see '
+            'benchmarks/DIM_SCALING.md)', DivergedRunWarning)
     return out
 
 
