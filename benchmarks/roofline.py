@@ -94,19 +94,22 @@ def speed_of_light(small=False):
     sol['normals_per_s'] = n / t
 
     # HBM stream: sum of a resident 256 MB array; the per-rep key only
-    # perturbs a scalar so each rep re-reads the array from HBM
+    # perturbs a scalar so each rep re-reads the array from HBM.  The
+    # array is a jit ARGUMENT, not a closure capture — a captured array
+    # becomes an HLO constant and the remote compile service rejects the
+    # 256 MB request body (HTTP 413)
     x = jax.random.normal(jax.random.PRNGKey(3), (n,), jnp.float32)
     x = jax.block_until_ready(x)
 
     @jax.jit
-    def stream(key):
+    def stream(x, key):
         def step(acc, i):
             c = jax.random.uniform(jax.random.fold_in(key, i), ())
             return acc + jnp.sum(x * c), None
         out, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(REPS))
         return out
 
-    t = _device_time(stream, jax.random.PRNGKey(11)) / REPS
+    t = _device_time(stream, x, jax.random.PRNGKey(11)) / REPS
     sol['hbm_bytes_per_s'] = 4 * n / t
 
     # MXU: 4096^3 matmul, f32-HIGHEST (the workload's pinned precision)
@@ -119,7 +122,7 @@ def speed_of_light(small=False):
 
     def mm(precision, dtype):
         @jax.jit
-        def prog(key):
+        def prog(a, b, key):
             def step(acc, i):
                 c = jax.random.uniform(jax.random.fold_in(key, i), (),
                                        dtype=dtype)
@@ -128,7 +131,7 @@ def speed_of_light(small=False):
                 return acc + jnp.sum(y.astype(jnp.float32)), None
             out, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(REPS))
             return out
-        return _device_time(prog, jax.random.PRNGKey(13)) / REPS
+        return _device_time(prog, a, b, jax.random.PRNGKey(13)) / REPS
 
     sol['mxu_f32_highest_flops_per_s'] = flops / mm(
         jax.lax.Precision.HIGHEST, jnp.float32)
