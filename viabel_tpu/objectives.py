@@ -235,6 +235,12 @@ def black_box_chivi_neff(alpha, var_family, log_density, n_samples,
     size of the exponentiated weights: a full-ESS weight set recovers the
     plain CHIVI gradient, while weight sets dominated by a few samples —
     whose MC gradient estimate is unreliable — are damped toward zero.
+
+    At large d this damping is measured to arrest plain CHIVI's runaway
+    divergence (finite with bounded drift at d = 100 where `black_box_chivi`
+    hits NaN in 74 iterations) without restoring a certifying fit — the
+    degenerate gradient carries no usable signal to damp
+    (benchmarks/DIM_SCALING.md).
     (The opposite convention, *dividing* by ``n_eff``, amplifies the
     gradient by up to ``n_samples``x exactly when the estimate is worst and
     diverges on the chive_expts_3 workload itself; measured in
