@@ -8,6 +8,11 @@ tables there):
   d = 100, CHIVI (alpha = 2, n_mc = 800) either hits NaN (first bad
   iteration recorded) or, at lr small enough to stay finite, drifts to a
   non-certifying fit (khat ~ 9) — there is no stable step size.
+* **neff probe** (`--mode neff`): same warm start, but with
+  `black_box_chivi_neff` — the ESS-damped gradient stays finite where
+  plain CHIVI hits NaN (drift from the warm start bounded at ~0.30,
+  identical after 2k and 5k iterations) yet still lands at khat ~ 2.8:
+  the damping arrests the runaway without restoring signal.
 * **trajectory probe** (`--mode mech`, CPU, d = 30): re-runs the same
   CHIVI start for increasing horizons and prints the estimated CUBO value
   and the parameter block extremes: the value falls monotonically
@@ -63,15 +68,17 @@ def _setup(d):
     return model, fam, kp
 
 
-def sweep(d):
-    from viabel_tpu import adagrad_optimize, black_box_chivi
+def sweep(d, neff=False):
+    from viabel_tpu import (adagrad_optimize, black_box_chivi,
+                            black_box_chivi_neff)
     from viabel_tpu.bounds import all_bounds, family_moment_bounds
     from viabel_tpu.experiments import get_samples_and_log_weights
     from viabel_tpu.psis import psislw
     model, fam, kp = _setup(d)
-    chivi = black_box_chivi(2, fam, model.log_prob, 800, presampled=True)
-    for lr in (.005, .002, .001, .0005):
-        p, _, v, ln = adagrad_optimize(2000, chivi, kp,
+    factory = black_box_chivi_neff if neff else black_box_chivi
+    chivi = factory(2, fam, model.log_prob, 800, presampled=True)
+    for lr in ((.005,) if neff else (.005, .002, .001, .0005)):
+        p, _, v, ln = adagrad_optimize(5000 if neff else 2000, chivi, kp,
                                        key=jax.random.PRNGKey(3),
                                        learning_rate=lr,
                                        learning_rate_end=lr / 10,
@@ -115,14 +122,15 @@ def mech(d):
 
 if __name__ == '__main__':
     ap = argparse.ArgumentParser()
-    ap.add_argument('--mode', choices=('sweep', 'mech'), default='sweep')
+    ap.add_argument('--mode', choices=('sweep', 'mech', 'neff'),
+                    default='sweep')
     ap.add_argument('--d', type=int, default=None)
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
     print('device: {}'.format(jax.devices()[0]), flush=True)
-    if args.mode == 'sweep':
-        sweep(args.d or 100)
-    else:
+    if args.mode == 'mech':
         mech(args.d or 30)
+    else:
+        sweep(args.d or 100, neff=args.mode == 'neff')
