@@ -881,6 +881,16 @@ def rmsprop_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
     Returns the reference's 7-tuple:
     ``(variational_param, chains, averaged_means_list, averaged_sigmas_list,
     value_history, log_norm_history, optimisation_log)``.
+
+    Large-P guidance (measured at d = 300 full-rank, P = 45,450;
+    benchmarks/DIM_SCALING.md): the returned first element is the
+    reference-parity RAW last iterate of the last chain — read the fit
+    from ``optimisation_log['averaged_variational_param']`` (0.5-0.8
+    better khat at large d).  The R-hat post-pass gathers the
+    ``(n_chains, 100*window, P)`` retained history to the host, so pass a
+    small `window` when P is large (the default retains 727 MB for four
+    d = 300 chains), and use `checkpoint_path`/`save_every` to bound the
+    length of each device dispatch on runtimes that limit it.
     """
     return _ia_optimize('rmsprop', 0.5, n_iters, objective_and_grad,
                         init_param, K, key, has_log_norm, window,
@@ -910,7 +920,9 @@ def adam_IA_optimize_with_rhat(n_iters, objective_and_grad, init_param, K,
     `rmsprop_IA_optimize_with_rhat` (history cap: viabel/vb.py:629-630;
     online tail average: viabel/vb.py:624-627; progress:
     viabel/vb.py:631-635; partial results: viabel/vb.py:638-643).  Returns
-    the same 7-tuple.
+    the same 7-tuple; `rmsprop_IA_optimize_with_rhat`'s large-P guidance
+    (read the fit from ``optimisation_log['averaged_variational_param']``,
+    small `window`, segmented execution) applies unchanged.
     """
     return _ia_optimize('adam', 0.2, n_iters, objective_and_grad,
                         init_param, K, key, has_log_norm, window,
