@@ -5,7 +5,8 @@ numpy `sqrtm` + per-sample loops; reference: viabel/vb.py:202-208).  This
 example runs the complete validated workflow — full-rank Gaussian KLVI,
 1e6-sample bounds, PSIS — at d = 100 (5,150 variational parameters) on a
 conjugate linear-regression posterior whose exact moments are known
-(`compute_posterior_moments`), then checks the fit against the truth.
+(the model computes them via `compute_posterior_moments`), then checks
+the fit against the truth.
 
 What the defaults do for you at this scale (benchmarks/DIM_SCALING.md):
 
@@ -36,7 +37,6 @@ def main(d=100, n_iters=None, cpu=False):
         jax.config.update('jax_platforms', 'cpu')
     from viabel_tpu import (full_rank_gaussian_variational_family,
                             init_from_moments, validated_vi)
-    from viabel_tpu.diagnostics import compute_posterior_moments
     from viabel_tpu.models import (data_generator_linear,
                                    linear_regression_model)
 

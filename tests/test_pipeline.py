@@ -423,7 +423,8 @@ def test_diverged_start_degrades_to_inf_bounds():
     from viabel_tpu.pipeline import _assemble_bounds
     d = 3
     bad = np.full(8 + d * d, np.nan)
-    b, khat = _assemble_bounds(bad, 1000, d, 2.0, None)
+    b, khat, diverged = _assemble_bounds(bad, 1000, d, 2.0, None)
+    assert diverged
     assert b['d2'] == np.inf
     assert b['W2'] == np.inf and b['cov_error'] == np.inf
     assert np.isnan(khat)
@@ -432,7 +433,8 @@ def test_diverged_start_degrades_to_inf_bounds():
     # cov_error degrades
     pack = np.concatenate([np.array([0.0, 1.0, 0.1, -1.0, 0.5, 4.0, 48.0,
                                      0.6]), np.full(d * d, np.inf)])
-    b2, _ = _assemble_bounds(pack, 1000, d, 2.0, None)
+    b2, _, diverged2 = _assemble_bounds(pack, 1000, d, 2.0, None)
+    assert not diverged2  # finite stats: a degraded covariance is not divergence
     assert np.isfinite(b2['d2']) and np.isfinite(b2['W2'])
     assert b2['cov_error'] == np.inf
 
@@ -678,3 +680,22 @@ def test_multistart_all_diverged_warns_once():
         validated_vi_multistart(model.log_prob, fam, init, 200, n_starts=2,
                                 key=jax.random.PRNGKey(0),
                                 n_bound_samples=4000, learning_rate=.05)
+
+
+def test_short_tail_khat_inf_does_not_warn_diverged():
+    """khat = +inf is a legitimate short-tail outcome (tiny
+    n_bound_samples leaves < 5 above-cutoff weights) on a perfectly
+    healthy run — it must NOT trigger DivergedRunWarning, whose signature
+    is NaN from non-finite log-weights (round-5 review)."""
+    import warnings
+
+    from viabel_tpu.pipeline import DivergedRunWarning
+    model = funnel_model()
+    fam = mean_field_gaussian_variational_family(2)
+    init = jnp.zeros(4, dtype=jnp.float64)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error', DivergedRunWarning)
+        out = validated_vi(model.log_prob, fam, init, 100,
+                           key=jax.random.PRNGKey(0),
+                           n_bound_samples=16, learning_rate=.05)
+    assert np.isinf(out['khat'])  # short tail -> inf, and no warning

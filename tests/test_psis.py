@@ -293,3 +293,18 @@ def test_ess_reff_closes_the_psis_loop():
     # LOO values are finite and in the same ballpark under both tails
     assert np.isfinite(loo1) and np.isfinite(loo2)
     assert abs(loo1 - loo2) < 0.5
+
+
+def test_psisloo_1d_input():
+    """1-D log_lik (a single observation column) must work: psislw
+    documents 1-D support and the packed-fetch rewrite briefly broke it
+    (0-d loos cannot concatenate with the (1,) total; round-5 review)."""
+    ll = jnp.asarray(np.linspace(-2.0, -1.0, 200))
+    loo, loos, ks = psisloo(ll)
+    assert np.isfinite(loo)
+    assert np.shape(loos) == ()
+    assert np.shape(ks) == ()
+    # matches the 2-D single-column path
+    loo2, loos2, ks2 = psisloo(ll[:, None])
+    assert np.allclose(loo, loo2)
+    assert np.allclose(float(loos), loos2[0])

@@ -61,10 +61,12 @@ def _family_moments_prog(family):
 # on a serve hot path (round-5 advisor finding).  Capacity parallels the
 # lru_cache(64) of `_family_moments_prog` (same keys, same lifetime
 # expectations).
+import threading
 from collections import OrderedDict  # noqa: E402
 
 _families_without_closed_moments = OrderedDict()
 _NO_CLOSED_MOMENTS_CAP = 64
+_no_closed_moments_lock = threading.Lock()
 
 
 def family_moment_bounds(family, var_param):
@@ -90,16 +92,22 @@ def family_moment_bounds(family, var_param):
     from the same regression).
     """
     from .families import NoClosedFormMomentError
-    if family in _families_without_closed_moments:
-        _families_without_closed_moments.move_to_end(family)
-        return None
+    with _no_closed_moments_lock:
+        # one lock around check+move and insert+evict: serve's threaded
+        # handlers call this concurrently, and an unsynchronized
+        # move_to_end can KeyError when another thread's insert just
+        # evicted the key (round-5 review)
+        if family in _families_without_closed_moments:
+            _families_without_closed_moments.move_to_end(family)
+            return None
     try:
         c2, c4 = np.asarray(_family_moments_prog(family)(var_param),
                             dtype=float)
     except NoClosedFormMomentError:  # families.pth_moment's static guard
-        _families_without_closed_moments[family] = True
-        if len(_families_without_closed_moments) > _NO_CLOSED_MOMENTS_CAP:
-            _families_without_closed_moments.popitem(last=False)
+        with _no_closed_moments_lock:
+            _families_without_closed_moments[family] = True
+            if len(_families_without_closed_moments) > _NO_CLOSED_MOMENTS_CAP:
+                _families_without_closed_moments.popitem(last=False)
         return None
     moments = {2: c2, 4: c4}
     return lambda p: moments[p]

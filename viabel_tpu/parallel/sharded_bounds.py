@@ -274,7 +274,7 @@ def _host_bound_assembly(stats, alpha, log_norm_bound, moment_bound_fn,
 
 @lru_cache(maxsize=64)
 def _build_bound_psis(model_log_prob, family, mesh, axis, n_local, n_samples,
-                      alpha, compute_moments, with_cov, tail_len, cutoffmin):
+                      alpha, compute_moments, with_cov, tail_len):
     """Cached fused draw -> score -> stats -> PSIS program: the complete
     sharded bound+PSIS pass in ONE dispatch.
 
@@ -299,6 +299,12 @@ def _build_bound_psis(model_log_prob, family, mesh, axis, n_local, n_samples,
             compute_moments, with_cov)
         if cm is not None:
             stats.update(cm)
+        # cutoffmin from the LOG-WEIGHT dtype (which the model log-density
+        # may have promoted past var_param's), exactly as psislw_sharded
+        # and the fused pipelines derive it — a var_param-dtype value
+        # would clamp the f64 tail cutoff at log(f32 tiny) (round-5
+        # review)
+        cutoffmin = jnp.log(jnp.finfo(lw_local.dtype).tiny)
         slw, khat = _smooth_local(lw_local, axis, tail_len, cutoffmin)
         return stats, slw, khat
 
@@ -345,11 +351,9 @@ def sharded_bound_psis(model_log_prob, family, var_param, n_samples, key,
     compute_moments = moment_bound_fn is None
     with_cov = compute_moments and q_var is None
     tail_len = _tail_len(n_samples, Reff)
-    cutoffmin = float(np.log(np.finfo(np.dtype(var_param.dtype)).tiny))
     prog = _build_bound_psis(
         _hashable_log_density(model_log_prob), family, mesh, axis, n_local,
-        n_samples, float(alpha), compute_moments, with_cov, tail_len,
-        cutoffmin)
+        n_samples, float(alpha), compute_moments, with_cov, tail_len)
     stats, slw, khat = prog(var_param, key)
     stats = dict(stats)
 

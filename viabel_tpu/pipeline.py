@@ -326,9 +326,13 @@ def validated_vi(log_density, var_family, init_param, n_iters, *,
 
     # host: scalar bound assembly from the already-reduced statistics,
     # fetched in a single device->host transfer
-    bounds, khat = _assemble_bounds(out.pop('host_pack'), n_bound_samples,
-                                    var_family.dim, alpha, log_norm_bound)
-    if not np.isfinite(khat):
+    bounds, khat, diverged = _assemble_bounds(
+        out.pop('host_pack'), n_bound_samples, var_family.dim, alpha,
+        log_norm_bound)
+    # the divergence signal is non-finite LOG-WEIGHT STATISTICS — khat
+    # alone cannot discriminate: +inf khat is also the legitimate
+    # short-tail outcome of a tiny, healthy bound pass (round-5 review)
+    if diverged:
         import warnings
         warnings.warn(
             'the optimizer run diverged (non-finite log-weights at the '
@@ -371,7 +375,7 @@ def _assemble_bounds(host_pack, n, dim, alpha, log_norm_bound):
         bounds.update(error_bounds(q_var=q_cov, **bounds))
     bounds['d2' if alpha == 2 else 'dalpha'] = d2
     bounds['log_norm_bound'] = log_norm_bound
-    return bounds, khat
+    return bounds, khat, not finite_stats
 
 
 def _one_sharded_run(obj, var_family, log_density, n_iters, n_bound_samples,
@@ -672,19 +676,20 @@ def _finalize_batch(out, n_runs, n_bound_samples, dim, alpha,
     same bounds and picks the same best run on every rank."""
     from .parallel import fetch_global
     packs = fetch_global(out.pop('host_pack'))
-    bounds, khats = [], []
+    bounds, khats, diverged_flags = [], [], []
     for k in range(n_runs):
-        b, kh = _assemble_bounds(packs[k], n_bound_samples, dim, alpha,
-                                 log_norm_bound)
+        b, kh, dv = _assemble_bounds(packs[k], n_bound_samples, dim, alpha,
+                                     log_norm_bound)
         bounds.append(b)
         khats.append(kh)
+        diverged_flags.append(dv)
     d_key = 'd2' if alpha == 2 else 'dalpha'
     out['bounds'] = bounds
     out['khat'] = khats
     d_vals = np.asarray([b[d_key] for b in bounds])
     d_vals = np.where(np.isfinite(d_vals), d_vals, np.inf)
     out['best'] = int(np.argmin(d_vals))
-    if not np.any(np.isfinite(np.asarray(khats))):
+    if all(diverged_flags):
         # individual perturbed starts may legitimately diverge (that is
         # what the perturbation probes); ALL of them diverging means the
         # configuration, not the init, is broken — say so once

@@ -248,7 +248,10 @@ def psisloo(log_lik, **kwargs):
     # environment's per-fetch dispatch-latency floor on top of the
     # fetches the caller makes anyway (CLAUDE.md device->host convention;
     # the `bounds._fetch_stats` pattern)
+    loos1 = jnp.atleast_1d(loos)  # 1-D log_lik yields 0-d loos/ks
+    ks1 = jnp.atleast_1d(ks)
     packed = np.asarray(jnp.concatenate(
-        [jnp.sum(loos)[None], loos, ks.astype(loos.dtype)]))
-    m = loos.shape[0]
-    return float(packed[0]), packed[1:1 + m], packed[1 + m:]
+        [jnp.sum(loos)[None], loos1, ks1.astype(loos.dtype)]))
+    m = loos1.shape[0]
+    return (float(packed[0]), packed[1:1 + m].reshape(np.shape(loos)),
+            packed[1 + m:].reshape(np.shape(ks)))
